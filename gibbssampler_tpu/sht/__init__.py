@@ -1,0 +1,11 @@
+"""TPU-native spherical harmonic transforms."""
+
+from .grids import SphereGrid, gauss_legendre_grid
+from .legendre import legendre_table, wigner_d_table, spin2_lambda_tables
+from .transform import SHT, make_sht
+
+__all__ = [
+    "SphereGrid", "gauss_legendre_grid",
+    "legendre_table", "wigner_d_table", "spin2_lambda_tables",
+    "SHT", "make_sht",
+]
