@@ -1,0 +1,100 @@
+"""Dataset simulation (the reference's generate_dataset,
+main_polarization.py:25-59, and generate_cls, utils.py:17-47).
+
+The reference calls the CLASS Boltzmann code for theory spectra; inside the
+MCMC loop spectra are never recomputed, so the framework ships a file loader
+plus a CMB-like analytic default (damped acoustic-peak toy spectrum) and
+simulates skies with its own SHT (hp.synfast equivalent)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..harmonics.packing import nflat
+from ..harmonics.spectra import variance_expansion, gauss_beam
+from ..ops.noise import NoiseModel
+from ..ops.model import SkyModel
+from ..sht.transform import SHT, make_sht
+
+__all__ = ["example_dl", "synfast", "simulate_dataset"]
+
+
+def example_dl(lmax: int, kind: str = "tt", amp: float = 1000.0) -> np.ndarray:
+    """A CMB-like D_ell toy spectrum (muK^2): damped oscillatory acoustic
+    structure — stands in for the CLASS/CAMB output the reference loads
+    (utils.py:17-47); any positive spectrum exercises the same code paths."""
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    x = ell / 220.0
+    osc = 1.0 + 0.6 * np.cos(np.pi * x)
+    damp = np.exp(-((ell / (0.8 * max(lmax, 2))) ** 2))
+    sw = (1.0 + x) ** -1.2
+    dl = amp * sw * osc * damp + 1e-3 * amp
+    if kind == "ee":
+        dl = 0.01 * dl * (ell / 100.0) ** 2 / (1.0 + (ell / 100.0) ** 2)
+        dl += 1e-5 * amp
+    elif kind == "bb":
+        dl = 1e-4 * amp * (ell / 80.0) ** 2 / (1.0 + (ell / 80.0) ** 4)
+        dl += 1e-6 * amp
+    dl[:2] = 0.0
+    return dl
+
+
+def synfast(key, dl_fields, sht: SHT, spin: int):
+    """Draw a Gaussian sky: alm ~ N(0, C_l) per field, return (alm, maps).
+
+    dl_fields: (nfields, lmax+1) D_ell.  spin 0 -> T map (1, nr, nphi);
+    spin 2 -> (E, B) alm and (Q, U) maps (hp.synfast equivalent,
+    main_polarization.py:36)."""
+    lmax = sht.lmax
+    dl_fields = jnp.asarray(dl_fields, dtype=sht.dtype)
+    nf = dl_fields.shape[0]
+    var = jax.vmap(lambda d: variance_expansion(d, lmax))(dl_fields)
+    alm = jnp.sqrt(var) * jax.random.normal(key, (nf, nflat(lmax)),
+                                            dtype=sht.dtype)
+    if spin == 0:
+        maps = sht.synthesis(alm[0])[None]
+    else:
+        q, u = sht.synthesis_spin2(alm[0], alm[1])
+        maps = jnp.stack([q, u], axis=0)
+    return alm, maps
+
+
+def simulate_dataset(key, lmax: int, spin: int, dl_fields,
+                     noise_sigma2, fwhm_radians: float = 0.0,
+                     mask=None, dtype=jnp.float32, grid=None):
+    """Simulate d = A B s + n and return a ready-to-sample SkyModel.
+
+    Mirrors the reference pipeline (generate_dataset,
+    main_polarization.py:25-59): theory D_l -> beam-smoothed Gaussian sky ->
+    white noise -> optional mask; returns (model, truth dict)."""
+    sht = make_sht(lmax, grid=grid, dtype=dtype, spin2=(spin == 2))
+    bl = gauss_beam(fwhm_radians, lmax, dtype=dtype) if fwhm_radians > 0 \
+        else jnp.ones(lmax + 1, dtype=dtype)
+    ksky, knoise = jax.random.split(key)
+    alm_true, _ = synfast(ksky, dl_fields, sht, spin)
+    # beam applied in harmonic space, then synthesis
+    from ..harmonics.spectra import almxfl
+    alm_beamed = almxfl(alm_true, bl, lmax)
+    if spin == 0:
+        sky = sht.synthesis(alm_beamed[0])[None]
+    else:
+        q, u = sht.synthesis_spin2(alm_beamed[0], alm_beamed[1])
+        sky = jnp.stack([q, u], axis=0)
+    nf = sky.shape[0]
+    noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=nf, mask=mask,
+                             dtype=dtype)
+    # pixel noise consistent with the quadrature-scaled model:
+    # Var(n_pix) = 1 / N^-1 = sigma^2 / q_r on unmasked pixels
+    std = jnp.where(noise.inv_noise > 0,
+                    1.0 / jnp.sqrt(jnp.where(noise.inv_noise > 0,
+                                             noise.inv_noise, 1.0)), 0.0)
+    n = std * jax.random.normal(knoise, sky.shape, dtype=dtype)
+    d = (sky + n)
+    if mask is not None:
+        d = d * jnp.asarray(mask, dtype=dtype)
+    model = SkyModel(sht=sht, noise=noise, bl=bl, spin=spin, d=d)
+    truth = {"alm_true": alm_true, "dl_true": jnp.asarray(dl_fields),
+             "sky": sky}
+    return model, truth

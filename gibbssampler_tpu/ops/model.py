@@ -1,0 +1,119 @@
+"""The forward model d = A B s + n as a bundle of jittable operators.
+
+``SkyModel`` unifies temperature (spin-0, one field) and polarization
+(spin-2, E/B fields) behind one interface so every sampler is written once:
+
+- state ``s``    : (..., nfields, nflat) real-packed alm
+- pixel data ``d``: (..., nfields, nrings, nphi) maps  (T, or Q/U)
+
+The reference implements the same operators per case through healpy + qcinv
+(A: hp.alm2map; A^T: map2alm * Npix/4pi, reference: utils.py:79-111; the
+qcinv opfilt_tt/opfilt_pp forward ops, reference: ConstrainedRealization.py:40,
+CenteredGibbs.py:281).  Here A/A^T are the exact-transpose TPU SHT pair and
+everything else is elementwise, so Q applies fuse into two SHTs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..harmonics.packing import index_maps, nflat
+from ..harmonics.spectra import almxfl
+from ..sht.transform import SHT
+from .noise import NoiseModel
+
+__all__ = ["SkyModel"]
+
+
+@dataclass(frozen=True)
+class SkyModel:
+    """Operators for one observed dataset (beam, noise, mask, SHT).
+
+    spin = 0: nfields = 1 (T).  spin = 2: nfields = 2 (E, B alm; Q, U maps).
+    """
+
+    sht: SHT
+    noise: NoiseModel
+    bl: jnp.ndarray            # (lmax+1,) beam window
+    spin: int
+    d: Optional[jnp.ndarray] = None   # observed maps (nfields, nr, nphi)
+
+    @property
+    def lmax(self) -> int:
+        return self.sht.lmax
+
+    @property
+    def nfields(self) -> int:
+        return 2 if self.spin == 2 else 1
+
+    @property
+    def nflat(self) -> int:
+        return nflat(self.lmax)
+
+    def ell_mask(self, dtype=None) -> jnp.ndarray:
+        """(nflat,) 1 where l >= 2, 0 on the fixed monopole/dipole slots."""
+        dtype = dtype or self.sht.dtype
+        return jnp.asarray(index_maps(self.lmax).ell_of >= 2).astype(dtype)
+
+    # ---- primitive operators -------------------------------------------
+
+    def beam(self, s: jnp.ndarray) -> jnp.ndarray:
+        """B s (diagonal per-ell, identical for every field)."""
+        return almxfl(s, self.bl.astype(s.dtype), self.lmax)
+
+    def synthesis(self, s: jnp.ndarray) -> jnp.ndarray:
+        """A s: (..., nfields, nflat) -> (..., nfields, nr, nphi)."""
+        if self.spin == 0:
+            return self.sht.synthesis(s[..., 0, :])[..., None, :, :]
+        q, u = self.sht.synthesis_spin2(s[..., 0, :], s[..., 1, :])
+        return jnp.stack([q, u], axis=-3)
+
+    def adjoint_synthesis(self, f: jnp.ndarray) -> jnp.ndarray:
+        """A^T f: (..., nfields, nr, nphi) -> (..., nfields, nflat)."""
+        if self.spin == 0:
+            return self.sht.adjoint_synthesis(f[..., 0, :, :])[..., None, :]
+        e, b = self.sht.adjoint_synthesis_spin2(f[..., 0, :, :], f[..., 1, :, :])
+        return jnp.stack([e, b], axis=-2)
+
+    def forward(self, s: jnp.ndarray) -> jnp.ndarray:
+        """A B s — the noiseless sky seen by the instrument."""
+        return self.synthesis(self.beam(s))
+
+    def project_data(self, f: jnp.ndarray) -> jnp.ndarray:
+        """B^T A^T f = B A^T f (B diagonal)."""
+        return self.beam(self.adjoint_synthesis(f))
+
+    # ---- composite operators -------------------------------------------
+
+    def bt_ninv_d(self, d: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """B A^T N^-1 d — the data-dependent term of the CR mean, precomputed
+        once per dataset (reference precomputes it at init,
+        CenteredGibbs.py:296-314)."""
+        d = self.d if d is None else d
+        return self.project_data(self.noise.inv_noise * d)
+
+    def q_apply(self, s: jnp.ndarray, inv_cvar: jnp.ndarray) -> jnp.ndarray:
+        """Q s = C^-1 s + B A^T N^-1 A B s.
+
+        inv_cvar: (..., nfields, nflat) inverse prior variance per slot
+        (zeros on l < 2 slots; those components are projected out)."""
+        mask = self.ell_mask(s.dtype)
+        s = s * mask
+        out = inv_cvar * s + self.project_data(
+            self.noise.inv_noise * self.forward(s))
+        return out * mask
+
+    def harmonic_noise_diag(self) -> jnp.ndarray:
+        """(nfields, nflat) exact diagonal of B A^T N^-1 A B when the mask is
+        trivial (full sky): g_f * b_l^2 with g_f = tau_f / omega.  Used by
+        the exact full-sky solves (reference: CenteredGibbs.py:108-132) and
+        as the CG preconditioner / Langevin preconditioner on masked skies
+        (with an f_sky correction)."""
+        ell_of = index_maps(self.lmax).ell_of
+        bl2 = (self.bl.astype(self.sht.dtype) ** 2)[jnp.asarray(ell_of)]
+        g = self.noise.tau_max / self.noise.omega
+        return g[:, None] * bl2[None, :]

@@ -1,0 +1,255 @@
+"""Power-spectrum (C_ell / D_ell) conditional samplers.
+
+The reference's portfolio (SURVEY.md 2.4), pure and jittable:
+
+- binned conjugate inverse-gamma draw (centered parametrization;
+  reference: CenteredGibbs.py:24-48 TT, :54-93 EE/BB)
+- blocked Metropolis-within-Gibbs with truncated-normal proposals on the
+  non-centered (whitened) parametrization (reference: ClsSampler.py:45-125,
+  NonCenteredGibbs.py:205-248 TT, :252-445 pol), with both the pixel-space
+  and the harmonic-only ("all_sph") likelihood paths
+  (reference: NonCenteredGibbs.py:333-377)
+- per-ell k x k inverse-Wishart draw for joint correlated fields
+  (TT/TE/EE...; the reference only ever scaffolded this — invwishart import
+  CenteredGibbs.py:7 and the 3x3 Cython kernel variance_expension.pyx:36-61)
+
+All spectra are sampled as binned D_ell (conversion GibbsSampler.py:54;
+binning utils.py:150-162); whiten/recenter transforms for ASIS included
+(reference: ASIS.py:109-120).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..harmonics.packing import index_maps
+from ..harmonics.spectra import alm2cl, bin_sum, unfold_bins, variance_expansion
+from ..ops.model import SkyModel
+
+__all__ = [
+    "invgamma_dl", "centered_cls_sample",
+    "propose_truncnorm", "truncnorm_logratio", "nc_cls_sample",
+    "invwishart_cls_sample",
+    "whiten", "recenter",
+]
+
+
+# ---------------------------------------------------------------------------
+# Centered conjugate inverse-gamma step
+# ---------------------------------------------------------------------------
+
+def invgamma_dl(key, s_flat: jnp.ndarray, bins: np.ndarray, lmax: int):
+    """Binned conjugate draw for one field.
+
+    beta_bin = sum_l (2l+1) l(l+1) hat-C_l / (4 pi),
+    alpha_bin = sum_l (2l+1)/2 - 1,  D_bin = beta_bin / Gamma(alpha_bin)
+    (reference: CenteredGibbs.py:24-48; alpha of a degenerate first bin is
+    clamped to 1 as in the reference's alpha_bin0 := 1)."""
+    dt = s_flat.dtype
+    cl_hat = alm2cl(s_flat, lmax)
+    ell = jnp.arange(lmax + 1, dtype=dt)
+    beta_l = (2.0 * ell + 1.0) * ell * (ell + 1.0) * cl_hat / (4.0 * jnp.pi)
+    beta = bin_sum(beta_l, bins, lmax)
+    counts = bin_sum(2.0 * ell + 1.0, bins, lmax)
+    alpha = counts / 2.0 - 1.0
+    alpha = jnp.where(alpha <= 0, 1.0, alpha)
+    g = jax.random.gamma(key, alpha.astype(dt))
+    return beta / g
+
+
+def centered_cls_sample(key, s: jnp.ndarray, bins_list: Sequence[np.ndarray],
+                        lmax: int):
+    """Independent binned inverse-gamma draws per field (EE then BB in the
+    reference, CenteredGibbs.py:81-93).  s: (nfields, nflat).
+    Returns tuple of per-field (nbins_f,) binned D_ell."""
+    keys = jax.random.split(key, len(bins_list))
+    return tuple(
+        invgamma_dl(k, s[f], bins, lmax)
+        for f, (k, bins) in enumerate(zip(keys, bins_list))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-centered blocked Metropolis-within-Gibbs
+# ---------------------------------------------------------------------------
+
+def propose_truncnorm(key, x, sigma):
+    """x' ~ N(x, sigma^2) truncated to [0, inf) (reference:
+    ClsSampler.py:79-92)."""
+    lower = -x / sigma
+    z = jax.random.truncated_normal(key, lower, jnp.full_like(lower, jnp.inf),
+                                    dtype=x.dtype)
+    return x + sigma * z
+
+
+def truncnorm_logratio(x_old, x_new, sigma):
+    """log q(old | new) - log q(new | old) for the truncated-normal kernel:
+    only the truncation normalizers survive (reference computes both
+    truncnorm logpdfs, ClsSampler.py:112-125)."""
+    return (jax.scipy.special.log_ndtr(x_old / sigma)
+            - jax.scipy.special.log_ndtr(x_new / sigma))
+
+
+def _dl_tuple_to_var(dl_tuple, bins_list, lmax, nflat_, dtype):
+    """Per-field binned D_ell -> (nfields, nflat) prior variance."""
+    vars_ = [
+        variance_expansion(unfold_bins(dl.astype(dtype), bins, lmax), lmax)
+        for dl, bins in zip(dl_tuple, bins_list)
+    ]
+    return jnp.stack(vars_, axis=0)
+
+
+def make_nc_log_likelihood(model: SkyModel, bins_list, all_sph: bool,
+                           d_alm: jnp.ndarray | None = None):
+    """Returns log L(dl_tuple; s_nc) for the non-centered parametrization.
+
+    pixel path  : -1/2 sum_pix N^-1 (d - A B C^{1/2} s_nc)^2  — one synthesis
+                  per evaluation (reference: NonCenteredGibbs.py:333-355)
+    all_sph path: the same likelihood evaluated fully in harmonic space,
+                  valid on the full sky where the analysis-basis noise is
+                  white: -g/2 sum (d_alm - b_l C^{1/2} s_nc)^2
+                  (reference: NonCenteredGibbs.py:357-377)
+    """
+    lmax = model.lmax
+
+    if all_sph:
+        if d_alm is None:
+            raise ValueError("all_sph likelihood needs precomputed d_alm")
+        g = model.noise.harmonic_white_level()  # (nfields,)
+
+        def log_like(dl_tuple, s_nc):
+            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nflat,
+                                   s_nc.dtype)
+            s = jnp.sqrt(var) * s_nc
+            resid = d_alm - model.beam(s)
+            return -0.5 * jnp.sum(g[:, None] * resid * resid)
+    else:
+
+        def log_like(dl_tuple, s_nc):
+            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nflat,
+                                   s_nc.dtype)
+            s = jnp.sqrt(var) * s_nc
+            resid = model.d - model.forward(s)
+            return -0.5 * jnp.sum(model.noise.inv_noise * resid * resid)
+
+    return log_like
+
+
+class NCClsInfo(NamedTuple):
+    accept: tuple      # per-field (nblocks_f,) acceptance indicator means
+    log_like: jnp.ndarray
+
+
+def nc_cls_sample(key, dl_tuple, s_nc, log_like_fn, bins_list, blocks_list,
+                  prop_sigma_list, n_iter: int = 1):
+    """Blocked MH sweep(s) over binned D_ell given the whitened map s_nc.
+
+    blocks_list[f] : list of (start, stop) bin-index ranges for field f
+                     (static; the reference's ell-blocks, config.py:51-55)
+    prop_sigma_list[f] : (nbins_f,) proposal std devs
+    n_iter : MH sweeps per call (reference n_iter_metropolis)
+
+    Per sweep: propose every bin once (truncated normal), then accept/reject
+    block-by-block, field-by-field, each decision using one likelihood
+    evaluation (reference: NonCenteredGibbs.py:401-445).
+    """
+    nfields = len(dl_tuple)
+    dt = dl_tuple[0].dtype
+    acc_totals = [jnp.zeros(len(blocks_list[f]), dt) for f in range(nfields)]
+    ll = log_like_fn(dl_tuple, s_nc)
+    dl = list(dl_tuple)
+
+    for it in range(n_iter):
+        key, kp = jax.random.split(key)
+        pkeys = jax.random.split(kp, nfields)
+        props = [propose_truncnorm(pkeys[f], dl[f],
+                                   jnp.asarray(prop_sigma_list[f], dt))
+                 for f in range(nfields)]
+        for f in range(nfields):
+            for bi, (lo, hi) in enumerate(blocks_list[f]):
+                key, ka = jax.random.split(key)
+                cand_f = dl[f].at[lo:hi].set(props[f][lo:hi])
+                cand = tuple(cand_f if g == f else dl[g]
+                             for g in range(nfields))
+                ll_cand = log_like_fn(cand, s_nc)
+                sig = jnp.asarray(prop_sigma_list[f], dt)[lo:hi]
+                qcorr = jnp.sum(truncnorm_logratio(dl[f][lo:hi],
+                                                   props[f][lo:hi], sig))
+                log_ratio = ll_cand - ll + qcorr
+                u = jax.random.uniform(ka, dtype=dt)
+                acc = jnp.log(u) < log_ratio
+                dl[f] = jnp.where(acc, cand_f, dl[f])
+                ll = jnp.where(acc, ll_cand, ll)
+                acc_totals[f] = acc_totals[f].at[bi].add(acc.astype(dt))
+
+    acc_means = tuple(a / n_iter for a in acc_totals)
+    return tuple(dl), NCClsInfo(accept=acc_means, log_like=ll)
+
+
+# ---------------------------------------------------------------------------
+# Joint k x k inverse-Wishart step (TT/TE/EE... extension)
+# ---------------------------------------------------------------------------
+
+def invwishart_cls_sample(key, s: jnp.ndarray, lmax: int, lmin: int = 2):
+    """Per-ell joint draw C_ell ~ InvWishart(nu = 2l+1, Psi = S_ell) where
+    S_ell = sum_m a_lm a_lm^T is the k x k scatter of the fields.
+
+    Sampled via the Bartlett decomposition, vmapped over ell.  Returns
+    (lmax+1, k, k) C_ell blocks (zero below lmin).  This is the joint
+    correlated-field generalization the reference prepared but never wired
+    (invwishart import CenteredGibbs.py:7, 3x3 kernel
+    variance_expension.pyx:36-61)."""
+    k = s.shape[0]
+    dt = s.dtype
+    maps = index_maps(lmax)
+    ell_of = np.asarray(maps.ell_of)
+    onehot = jnp.asarray(
+        (ell_of[:, None] == np.arange(lmax + 1)[None, :]).astype(np.float64),
+        dtype=dt)
+    # S[l, i, j] = sum_{slots of degree l} s_i s_j
+    S = jnp.einsum("in,jn,nl->lij", s, s, onehot)
+    nu = 2.0 * jnp.arange(lmax + 1, dtype=dt) + 1.0
+
+    kchi, knorm = jax.random.split(key)
+    # Bartlett: W ~ Wishart(nu, I): L lower-tri, diag sqrt(chi2_{nu-i}),
+    # off-diag N(0,1); then Wishart(nu, Psi^-1) sample = (A L)(A L)^T with
+    # A A^T = Psi^-1; the InvWishart draw is its inverse.
+    i_idx = jnp.arange(k, dtype=dt)
+    df = jnp.maximum(nu[:, None] - i_idx[None, :], 1e-3)  # (L, k)
+    chi2 = 2.0 * jax.random.gamma(kchi, df / 2.0).astype(dt)
+    normals = jax.random.normal(knorm, (lmax + 1, k, k), dtype=dt)
+    tril = jnp.tril(normals, k=-1)
+    Lmat = tril + jax.vmap(jnp.diag)(jnp.sqrt(chi2))
+    # Psi^-1 = S^-1; chol(S^-1) = (chol(S)^-T)
+    eye = jnp.eye(k, dtype=dt)
+    Sreg = S + 1e-30 * eye
+    cS = jnp.linalg.cholesky(Sreg)
+    # A = inv(cS)^T  (upper); W = A L L^T A^T ; C = W^-1 = cS^T (L L^T)^-1 cS
+    LLT = Lmat @ jnp.swapaxes(Lmat, -1, -2)
+    inv_LLT = jnp.linalg.inv(LLT + 1e-30 * eye)
+    C = jnp.swapaxes(cS, -1, -2) @ inv_LLT @ cS
+    lmask = (jnp.arange(lmax + 1) >= lmin).astype(dt)
+    return C * lmask[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# ASIS whiten / recenter transforms (reference: ASIS.py:109-120, 185-203)
+# ---------------------------------------------------------------------------
+
+def whiten(s, dl_tuple, bins_list, lmax):
+    """s_nc = C^-1/2 s (slots with C = 0 stay 0)."""
+    var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, s.shape[-1], s.dtype)
+    inv_sqrt = jnp.where(var > 0, 1.0 / jnp.sqrt(jnp.where(var > 0, var, 1.0)),
+                         0.0)
+    return s * inv_sqrt
+
+
+def recenter(s_nc, dl_tuple, bins_list, lmax):
+    """s = C^{1/2} s_nc."""
+    var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, s_nc.shape[-1],
+                           s_nc.dtype)
+    return jnp.sqrt(var) * s_nc

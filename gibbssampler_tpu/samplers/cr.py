@@ -1,0 +1,293 @@
+"""Constrained-realization (CR) conditional samplers.
+
+Draws s | C_ell, d  ~  N(Q^-1 b, Q^-1),   Q = C^-1 + B A^T N^-1 A B.
+
+The full algorithm portfolio of the reference (SURVEY.md 2.3), each as a pure
+jittable function (key, s_old, var_cls, ...) -> (s_new, info):
+
+- exact_cr        : full-sky exact diagonal solve
+                    (reference: CenteredGibbs.py:108-132, :317-353)
+- cg_cr           : masked-sky preconditioned CG solve
+                    (reference qcinv path: CenteredGibbs.py:135-176, :448-491)
+- rjpo_cr         : reversible-jump perturbation-optimization — CG seeded at
+                    the previous sample + Metropolis residual correction
+                    (reference: CenteredGibbs.py:162-191, :606-674)
+- aux_gibbs_cr    : auxiliary-variable Gibbs ("gibbs change of variable")
+                    (reference: CenteredGibbs.py:193-212, :676-729)
+- overrelax_cr    : overrelaxed auxiliary-variable sweep, alpha = -0.995
+                    (reference: CenteredGibbs.py:733-825)
+- mala_cr         : preconditioned MALA (reference: CenteredGibbs.py:494-603);
+                    with accept=False it is ULA (reference:
+                    CenteredGibbs.py:417-446 — note the reference ULA applies
+                    the MH correction anyway; pass accept=True for parity)
+- aux_then_mala_cr: composed aux-Gibbs sweep then MALA step
+                    ("Composition !", reference: CenteredGibbs.py:833-836)
+
+State s and var_cls are (nfields, nflat); all functions vmap over leading
+chain axes at the scheme level.  Slots with var_cls = 0 (monopole/dipole and
+any pinned multipoles) stay exactly 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.model import SkyModel
+from ..ops.cg import cg_solve
+
+__all__ = [
+    "exact_cr", "cg_cr", "rjpo_cr", "aux_gibbs_cr", "overrelax_cr",
+    "mala_cr", "aux_then_mala_cr", "fluctuated_rhs", "cr_precond",
+]
+
+
+def _safe_inv(v):
+    return jnp.where(v > 0, 1.0 / jnp.where(v > 0, v, 1.0), 0.0)
+
+
+def _active(var_cls):
+    return (var_cls > 0).astype(var_cls.dtype)
+
+
+def fluctuated_rhs(key, model: SkyModel, var_cls, bt_ninv_d):
+    """b = B A^T N^-1 d + C^-1/2 om0 + B A^T N^-1/2 om1 — the random RHS whose
+    exact solve is a draw from N(Q^-1 b_mean, Q^-1) (perturbation-optimization;
+    used by both the plain CG and RJPO steps)."""
+    k0, k1 = jax.random.split(key)
+    inv_cvar = _safe_inv(var_cls)
+    om0 = jax.random.normal(k0, var_cls.shape, dtype=var_cls.dtype)
+    om1 = jax.random.normal(k1, model.noise.tau.shape, dtype=var_cls.dtype)
+    b = bt_ninv_d + jnp.sqrt(inv_cvar) * om0
+    b = b + model.project_data(jnp.sqrt(model.noise.inv_noise) * om1)
+    return b * _active(var_cls)
+
+
+def cr_precond(model: SkyModel, var_cls, fsky_scale=True):
+    """Diagonal preconditioner 1/(C^-1 + f_sky g b_l^2) (qcinv's diag_cl
+    analogue, reference: ConstrainedRealization.py:41)."""
+    inv_cvar = _safe_inv(var_cls)
+    hdiag = model.harmonic_noise_diag().astype(var_cls.dtype)
+    if fsky_scale:
+        hdiag = hdiag * model.noise.f_sky[:, None].astype(var_cls.dtype)
+    return _safe_inv(inv_cvar + hdiag) * _active(var_cls)
+
+
+class CRInfo(NamedTuple):
+    accept: jnp.ndarray          # 1.0 if the move was accepted (always for
+                                 # exact/CG/aux samplers)
+    extra: jnp.ndarray           # algorithm-specific scalar (CG iterations,
+                                 # MH log-ratio, ...)
+
+
+# ---------------------------------------------------------------------------
+# Exact full-sky diagonal solve
+# ---------------------------------------------------------------------------
+
+def exact_cr(key, model: SkyModel, var_cls, bt_ninv_d):
+    """Full-sky exact draw: Sigma = (C^-1 + g b_l^2)^-1 elementwise; exact on
+    a quadrature grid with quadrature-scaled white noise (the reference's
+    full-sky solve is the HEALPix approximation of this,
+    CenteredGibbs.py:108-132)."""
+    inv_cvar = _safe_inv(var_cls)
+    hdiag = model.harmonic_noise_diag().astype(var_cls.dtype)
+    sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
+    xi = jax.random.normal(key, var_cls.shape, dtype=var_cls.dtype)
+    s = sigma * bt_ninv_d + jnp.sqrt(sigma) * xi
+    return s, CRInfo(accept=jnp.ones((), var_cls.dtype),
+                     extra=jnp.zeros((), var_cls.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Masked-sky CG solve (and RJPO variant)
+# ---------------------------------------------------------------------------
+
+def cg_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old=None,
+          tol=1e-6, maxiter=4000):
+    """Perturbation-optimization CG draw, seeded at zero (reference seeds the
+    qcinv solution at 0, CenteredGibbs.py:154-171); treated as exact."""
+    inv_cvar = _safe_inv(var_cls)
+    b = fluctuated_rhs(key, model, var_cls, bt_ninv_d)
+    op = lambda x: model.q_apply(x, inv_cvar)
+    x, info = cg_solve(op, b, x0=None,
+                       precond_diag=cr_precond(model, var_cls),
+                       tol=tol, maxiter=maxiter, ndim_sys=2)
+    x = x * _active(var_cls)
+    return x, CRInfo(accept=jnp.ones((), var_cls.dtype),
+                     extra=info.iterations.astype(var_cls.dtype))
+
+
+def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
+            tol=1e-5, maxiter=4000):
+    """RJPO: solve the fluctuated system approximately (seeded at the current
+    state) and Metropolis-correct with the residual:
+    log alpha = -<r, s_old - s_hat>, r = b - Q s_hat
+    (reference: CenteredGibbs.py:162-191 TT, :606-674 pol)."""
+    kb, ka = jax.random.split(key)
+    inv_cvar = _safe_inv(var_cls)
+    b = fluctuated_rhs(kb, model, var_cls, bt_ninv_d)
+    op = lambda x: model.q_apply(x, inv_cvar)
+    s_hat, info = cg_solve(op, b, x0=s_old * _active(var_cls),
+                           precond_diag=cr_precond(model, var_cls),
+                           tol=tol, maxiter=maxiter, ndim_sys=2)
+    s_hat = s_hat * _active(var_cls)
+    r = b - op(s_hat)
+    log_ratio = -jnp.sum(r * (s_old - s_hat))
+    u = jax.random.uniform(ka, dtype=var_cls.dtype)
+    accept = jnp.log(u) < log_ratio
+    s_new = jnp.where(accept, s_hat, s_old)
+    return s_new, CRInfo(accept=accept.astype(var_cls.dtype),
+                         extra=log_ratio.astype(var_cls.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary-variable Gibbs and overrelaxation
+# ---------------------------------------------------------------------------
+
+def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
+    """Shared pieces: the pixel gap operator (mu - N^-1) and the harmonic
+    posterior variance Sigma = (C^-1 + mu_bar/omega b_l^2)^-1."""
+    from ..harmonics.packing import index_maps
+    noise = model.noise
+    dt = var_cls.dtype
+    mu_bar = noise.tau_max.astype(dt) + eps          # (nfields,)
+    gap = (noise.q_profile[None, :, None]
+           * (mu_bar[:, None, None] - noise.tau)).astype(dt)  # (nf, nr, nphi)
+    gap = jnp.maximum(gap, 0.0)
+    inv_cvar = _safe_inv(var_cls)
+    ell_of = jnp.asarray(index_maps(model.lmax).ell_of)
+    bl2 = (model.bl.astype(dt) ** 2)[ell_of]
+    hdiag = (mu_bar[:, None] / noise.omega) * bl2[None, :]
+    sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
+    return gap, sigma
+
+
+def _aux_v_mean(model, gap, s):
+    return gap * model.forward(s)
+
+
+def _aux_s_mean(model, sigma, v, bt_ninv_d):
+    return sigma * (model.project_data(v) + bt_ninv_d)
+
+
+def aux_gibbs_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
+                 n_gibbs: int = 1, eps=1e-7):
+    """Auxiliary-variable Gibbs: augment with pixel field
+    v | s ~ N((mu - N^-1) A B s, mu - N^-1); then s | v, d is diagonal in
+    harmonic space (reference: CenteredGibbs.py:193-212, :676-729;
+    mu = max(N^-1) + 1e-7, ConstrainedRealization.py:44).  ``n_gibbs`` inner
+    sweeps per call (reference runs 20 inside ASIS, main_polarization.py:126)."""
+    gap, sigma = _aux_ops(model, var_cls, eps)
+
+    def sweep(s, k):
+        kv, ks = jax.random.split(k)
+        xi_v = jax.random.normal(kv, gap.shape, dtype=var_cls.dtype)
+        v = _aux_v_mean(model, gap, s) + jnp.sqrt(gap) * xi_v
+        xi_s = jax.random.normal(ks, var_cls.shape, dtype=var_cls.dtype)
+        s = _aux_s_mean(model, sigma, v, bt_ninv_d) + jnp.sqrt(sigma) * xi_s
+        return s, None
+
+    keys = jax.random.split(key, n_gibbs)
+    s, _ = jax.lax.scan(sweep, s_old * _active(var_cls), keys)
+    return s, CRInfo(accept=jnp.ones((), var_cls.dtype),
+                     extra=jnp.zeros((), var_cls.dtype))
+
+
+def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
+                 alpha: float = -0.995, eps=1e-7):
+    """Overrelaxed auxiliary sweep s|v, v|s, s|v with
+    x <- m + alpha (x - m) + sqrt(1 - alpha^2) sqrt(Sigma) xi, alpha = -0.995
+    (reference: CenteredGibbs.py:733-825, alpha at :244)."""
+    gap, sigma = _aux_ops(model, var_cls, eps)
+    dt = var_cls.dtype
+    sq = jnp.sqrt(jnp.asarray(1.0 - alpha * alpha, dt))
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    s = s_old * _active(var_cls)
+
+    # initial v draw (plain) to define the chain state
+    xi = jax.random.normal(k1, gap.shape, dtype=dt)
+    v = _aux_v_mean(model, gap, s) + jnp.sqrt(gap) * xi
+    # overrelaxed s | v
+    m = _aux_s_mean(model, sigma, v, bt_ninv_d)
+    xi = jax.random.normal(k2, var_cls.shape, dtype=dt)
+    s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
+    # overrelaxed v | s
+    mv = _aux_v_mean(model, gap, s)
+    xi = jax.random.normal(k3, gap.shape, dtype=dt)
+    v = mv + alpha * (v - mv) + sq * jnp.sqrt(gap) * xi
+    # overrelaxed s | v
+    m = _aux_s_mean(model, sigma, v, bt_ninv_d)
+    xi = jax.random.normal(k4, var_cls.shape, dtype=dt)
+    s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
+    return s, CRInfo(accept=jnp.ones((), dt), extra=jnp.zeros((), dt))
+
+
+# ---------------------------------------------------------------------------
+# Langevin samplers (preconditioned ULA / MALA)
+# ---------------------------------------------------------------------------
+
+def _log_target(model: SkyModel, var_cls, s, d):
+    """log pi(s | C, d) up to a constant: -1/2 s^T C^-1 s
+    - 1/2 (d - A B s)^T N^-1 (d - A B s)."""
+    inv_cvar = _safe_inv(var_cls)
+    resid = d - model.forward(s)
+    return (-0.5 * jnp.sum(inv_cvar * s * s)
+            - 0.5 * jnp.sum(model.noise.inv_noise * resid * resid))
+
+
+def _grad_log_target(model: SkyModel, var_cls, s, bt_ninv_d):
+    """-C^-1 s - B A^T N^-1 A B s + B A^T N^-1 d (reference:
+    CenteredGibbs.py:494-559, data term precomputed at :296-314)."""
+    inv_cvar = _safe_inv(var_cls)
+    qs = model.project_data(model.noise.inv_noise * model.forward(s))
+    return (-inv_cvar * s - qs + bt_ninv_d) * _active(var_cls)
+
+
+def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
+            tau: float = 0.02, accept: bool = True):
+    """Preconditioned MALA: s' = s + tau Sigma grad + sqrt(2 tau Sigma) xi,
+    Sigma = full-sky posterior diagonal, tau = 0.02 (reference:
+    CenteredGibbs.py:494-603; tau at :294).  accept=False gives unadjusted
+    ULA (the reference's ULA path MH-corrects anyway, :436-446)."""
+    inv_cvar = _safe_inv(var_cls)
+    hdiag = model.harmonic_noise_diag().astype(var_cls.dtype)
+    sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
+    dt = var_cls.dtype
+    kp, ka = jax.random.split(key)
+
+    s = s_old * _active(var_cls)
+    g = _grad_log_target(model, var_cls, s, bt_ninv_d)
+    xi = jax.random.normal(kp, var_cls.shape, dtype=dt)
+    prop_mean = s + tau * sigma * g
+    s_prop = prop_mean + jnp.sqrt(2.0 * tau * sigma) * xi
+
+    if not accept:
+        return s_prop, CRInfo(accept=jnp.ones((), dt),
+                              extra=jnp.zeros((), dt))
+
+    d = model.d
+    g_prop = _grad_log_target(model, var_cls, s_prop, bt_ninv_d)
+    rev_mean = s_prop + tau * sigma * g_prop
+    inv_step = _safe_inv(2.0 * tau * sigma)
+
+    def logq(x_to, mean):
+        return -0.5 * jnp.sum(inv_step * (x_to - mean) ** 2)
+
+    log_ratio = (_log_target(model, var_cls, s_prop, d)
+                 - _log_target(model, var_cls, s, d)
+                 + logq(s, rev_mean) - logq(s_prop, prop_mean))
+    u = jax.random.uniform(ka, dtype=dt)
+    acc = jnp.log(u) < log_ratio
+    s_new = jnp.where(acc, s_prop, s)
+    return s_new, CRInfo(accept=acc.astype(dt), extra=log_ratio.astype(dt))
+
+
+def aux_then_mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
+                     n_gibbs: int = 1, tau: float = 0.02):
+    """One auxiliary-Gibbs sweep followed by a MALA step — the reference's
+    "Composition !" branch (CenteredGibbs.py:833-836)."""
+    k1, k2 = jax.random.split(key)
+    s, _ = aux_gibbs_cr(k1, model, var_cls, bt_ninv_d, s_old, n_gibbs=n_gibbs)
+    return mala_cr(k2, model, var_cls, bt_ninv_d, s, tau=tau, accept=True)

@@ -1,0 +1,294 @@
+"""Full Gibbs sampling schemes: centered, non-centered, ASIS, PNCP.
+
+TPU-first drivers replacing the reference's python loops (GibbsSampler.py:
+76-180, NonCenteredGibbs.py:449-582, ASIS.py:16-232, PNCP — historical,
+SURVEY.md 2.4/2.6.7): each scheme's iteration is a pure ``step`` function,
+the outer MCMC loop is a ``lax.scan``, and independent chains are ``vmap``ed
+so every SHT becomes a batched matmul.  The chain axis can additionally be
+sharded over a device mesh (gibbssampler_tpu.parallel).
+
+CR algorithm selection is an explicit enum-like string, replacing the
+reference's boolean-flag dispatch tangle (CenteredGibbs.py:828-850).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..harmonics.spectra import unfold_bins, variance_expansion
+from ..ops.model import SkyModel
+from ..samplers import cr as cr_mod
+from ..samplers import cls_samplers as cls_mod
+
+__all__ = ["GibbsState", "GibbsScheme", "CenteredGibbs", "NonCenteredGibbs",
+           "ASISGibbs", "PNCPGibbs", "CR_METHODS"]
+
+
+class GibbsState(NamedTuple):
+    s: jnp.ndarray        # (nfields, nflat) — centered or non-centered map
+    dl: tuple             # per-field (nbins_f,) binned D_ell
+
+
+CR_METHODS = ("exact", "cg", "rjpo", "aux_gibbs", "overrelax", "mala", "ula",
+              "aux_mala")
+
+
+def _make_cr_step(method: str, model: SkyModel, bt_ninv_d, opts: dict):
+    """Bind a CR method name to a (key, s, var_cls) -> (s, info) function."""
+    if method == "exact":
+        return lambda key, s, var: cr_mod.exact_cr(key, model, var, bt_ninv_d)
+    if method == "cg":
+        return lambda key, s, var: cr_mod.cg_cr(
+            key, model, var, bt_ninv_d,
+            tol=opts.get("cg_tol", 1e-6), maxiter=opts.get("cg_maxiter", 4000))
+    if method == "rjpo":
+        return lambda key, s, var: cr_mod.rjpo_cr(
+            key, model, var, bt_ninv_d, s,
+            tol=opts.get("cg_tol", 1e-5), maxiter=opts.get("cg_maxiter", 4000))
+    if method == "aux_gibbs":
+        return lambda key, s, var: cr_mod.aux_gibbs_cr(
+            key, model, var, bt_ninv_d, s, n_gibbs=opts.get("n_gibbs", 1))
+    if method == "overrelax":
+        return lambda key, s, var: cr_mod.overrelax_cr(
+            key, model, var, bt_ninv_d, s, alpha=opts.get("alpha", -0.995))
+    if method == "mala":
+        return lambda key, s, var: cr_mod.mala_cr(
+            key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),
+            accept=True)
+    if method == "ula":
+        return lambda key, s, var: cr_mod.mala_cr(
+            key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),
+            accept=opts.get("ula_mh_correct", True))
+    if method == "aux_mala":
+        return lambda key, s, var: cr_mod.aux_then_mala_cr(
+            key, model, var, bt_ninv_d, s, n_gibbs=opts.get("n_gibbs", 1),
+            tau=opts.get("tau", 0.02))
+    raise ValueError(f"unknown CR method {method!r}; one of {CR_METHODS}")
+
+
+@dataclass
+class GibbsScheme:
+    """Shared driver machinery (the reference's GibbsSampler base,
+    GibbsSampler.py:8-192)."""
+
+    model: SkyModel
+    bins_list: Sequence[np.ndarray]
+    cr_method: str = "exact"
+    cr_options: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.lmax = self.model.lmax
+        self.bt_ninv_d = self.model.bt_ninv_d()
+        self._cr_step = _make_cr_step(self.cr_method, self.model,
+                                      self.bt_ninv_d, self.cr_options)
+
+    # -- helpers ---------------------------------------------------------
+
+    def var_cls(self, dl_tuple):
+        """(nfields, nflat) prior variance from per-field binned D_ell."""
+        dt = self.model.sht.dtype
+        vars_ = [variance_expansion(
+            unfold_bins(dl.astype(dt), bins, self.lmax), self.lmax)
+            for dl, bins in zip(dl_tuple, self.bins_list)]
+        return jnp.stack(vars_, axis=0)
+
+    def init_state(self, key, dl_init_tuple) -> GibbsState:
+        """Initial CR draw at the starting spectrum (the reference always
+        performs an initial CR draw, GibbsSampler.py:136-138)."""
+        dl0 = tuple(jnp.asarray(d, dtype=self.model.sht.dtype)
+                    for d in dl_init_tuple)
+        s, _ = self._cr_step(key, jnp.zeros(
+            (self.model.nfields, self.model.nflat),
+            dtype=self.model.sht.dtype), self.var_cls(dl0))
+        return GibbsState(s=s, dl=dl0)
+
+    def step(self, key, state: GibbsState):
+        raise NotImplementedError
+
+    # -- outer loop ------------------------------------------------------
+
+    def run(self, key, dl_init_tuple, n_iter: int, nchains: int = 1):
+        """Run ``nchains`` vmapped chains for ``n_iter`` iterations.
+
+        Returns dict with per-field D_ell chains (nchains, n_iter/thin,
+        nbins_f) and per-step diagnostics (the reference saves the same
+        histories, main_polarization.py:175-185)."""
+        kinit, krun = jax.random.split(key)
+        init_keys = jax.random.split(kinit, nchains)
+        states = jax.vmap(lambda k: self.init_state(k, dl_init_tuple))(
+            init_keys)
+
+        def one_iter(states, key):
+            keys = jax.random.split(key, nchains)
+            states, info = jax.vmap(self.step)(keys, states)
+            return states, info
+
+        @jax.jit
+        def scan_all(states, keys):
+            return jax.lax.scan(one_iter, states, keys)
+
+        keys = jax.random.split(krun, n_iter)
+        states, infos = scan_all(states, keys)
+        out = {"dl_chains": tuple(
+            jnp.moveaxis(infos["dl"][f], 0, 1) for f in range(len(self.bins_list)))}
+        for k, v in infos.items():
+            if k == "dl":
+                continue
+            out[k] = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), v)
+        out["final_state"] = states
+        return out
+
+
+# ---------------------------------------------------------------------------
+
+class CenteredGibbs(GibbsScheme):
+    """CR step + conjugate inverse-gamma C_ell step (reference:
+    CenteredGibbs.py:859-876)."""
+
+    def step(self, key, state: GibbsState):
+        k1, k2 = jax.random.split(key)
+        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
+        dl = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
+        info = {"dl": dl, "cr_accept": cr_info.accept}
+        return GibbsState(s=s, dl=dl), info
+
+
+class NonCenteredGibbs(GibbsScheme):
+    """CR step re-expressed non-centered (whitened) + blocked MH C_ell step
+    (reference: NonCenteredGibbs.py:449-582).  State.s holds s_nc."""
+
+    def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
+                 n_iter_mh: int = 1, all_sph: bool = False,
+                 d_alm: Optional[jnp.ndarray] = None, **kw):
+        super().__init__(model, bins_list, **kw)
+        self.blocks_list = blocks_list
+        self.prop_sigma_list = prop_sigma_list
+        self.n_iter_mh = n_iter_mh
+        self.log_like = cls_mod.make_nc_log_likelihood(
+            model, bins_list, all_sph=all_sph, d_alm=d_alm)
+
+    def init_state(self, key, dl_init_tuple):
+        st = super().init_state(key, dl_init_tuple)
+        s_nc = cls_mod.whiten(st.s, st.dl, self.bins_list, self.lmax)
+        return GibbsState(s=s_nc, dl=st.dl)
+
+    def step(self, key, state: GibbsState):
+        k1, k2 = jax.random.split(key)
+        # centered CR draw at current spectrum, then whiten
+        s, cr_info = self._cr_step(
+            k1, cls_mod.recenter(state.s, state.dl, self.bins_list, self.lmax),
+            self.var_cls(state.dl))
+        s_nc = cls_mod.whiten(s, state.dl, self.bins_list, self.lmax)
+        dl, mh_info = cls_mod.nc_cls_sample(
+            k2, state.dl, s_nc, self.log_like, self.bins_list,
+            self.blocks_list, self.prop_sigma_list, n_iter=self.n_iter_mh)
+        info = {"dl": dl, "cr_accept": cr_info.accept,
+                "mh_accept": mh_info.accept}
+        return GibbsState(s=s_nc, dl=dl), info
+
+
+class ASISGibbs(GibbsScheme):
+    """Ancillarity–Sufficiency Interweaving: centered CR -> centered
+    inverse-gamma draw -> whiten -> non-centered MH draw -> recenter
+    (reference: ASIS.py:69-131 TT, :134-226 pol)."""
+
+    def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
+                 n_iter_mh: int = 1, all_sph: bool = False,
+                 d_alm: Optional[jnp.ndarray] = None, **kw):
+        super().__init__(model, bins_list, **kw)
+        self.blocks_list = blocks_list
+        self.prop_sigma_list = prop_sigma_list
+        self.n_iter_mh = n_iter_mh
+        self.log_like = cls_mod.make_nc_log_likelihood(
+            model, bins_list, all_sph=all_sph, d_alm=d_alm)
+
+    def step(self, key, state: GibbsState):
+        k1, k2, k3 = jax.random.split(key, 3)
+        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
+        dl_c = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
+        s_nc = cls_mod.whiten(s, dl_c, self.bins_list, self.lmax)
+        dl, mh_info = cls_mod.nc_cls_sample(
+            k3, dl_c, s_nc, self.log_like, self.bins_list,
+            self.blocks_list, self.prop_sigma_list, n_iter=self.n_iter_mh)
+        s = cls_mod.recenter(s_nc, dl, self.bins_list, self.lmax)
+        info = {"dl": dl, "cr_accept": cr_info.accept,
+                "mh_accept": mh_info.accept}
+        return GibbsState(s=s, dl=dl), info
+
+
+class PNCPGibbs(GibbsScheme):
+    """Partially non-centered parametrization: multipoles below l_cut sampled
+    centered (conjugate inverse-gamma), above l_cut non-centered (blocked MH)
+    — rebuilt from the intent of the reference's deleted PNCP.py
+    (bytecode __pycache__/PNCP.cpython-38.pyc; SURVEY.md 2.4: sample_low_l /
+    sample_high_l split, l_cut must not fall inside a block)."""
+
+    def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
+                 l_cut: int, n_iter_mh: int = 1, all_sph: bool = False,
+                 d_alm: Optional[jnp.ndarray] = None, **kw):
+        super().__init__(model, bins_list, **kw)
+        self.l_cut = l_cut
+        # split bins into low (centered) and high (MH) parts; l_cut must be
+        # a bin boundary (the reference raises when l_cut is inside a block)
+        self.cut_bin = []
+        for bins in bins_list:
+            if l_cut not in list(bins):
+                raise ValueError(
+                    f"l_cut={l_cut} must be a bin boundary (got bins={bins})")
+            self.cut_bin.append(int(np.searchsorted(bins, l_cut)))
+        # keep only high-l blocks, re-indexed over the full bin vector
+        self.blocks_list = [
+            [(lo, hi) for (lo, hi) in blocks
+             if lo >= cb] for blocks, cb in zip(blocks_list, self.cut_bin)]
+        self.prop_sigma_list = prop_sigma_list
+        self.n_iter_mh = n_iter_mh
+        self.all_sph = all_sph
+        self._d_alm = d_alm
+
+        # partially non-centered likelihood: whiten only l >= l_cut
+        base_like = cls_mod.make_nc_log_likelihood(
+            model, bins_list, all_sph=all_sph, d_alm=d_alm)
+        self.log_like = base_like
+
+    def _var_high(self, dl_tuple, dtype):
+        """Prior variance with 1 on l < l_cut slots (identity re-centering)."""
+        from ..harmonics.packing import index_maps
+        var = self.var_cls(dl_tuple).astype(dtype)
+        low = jnp.asarray(index_maps(self.lmax).ell_of < self.l_cut)
+        return jnp.where(low[None, :], 1.0, var)
+
+    def step(self, key, state: GibbsState):
+        k1, k2, k3 = jax.random.split(key, 3)
+        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
+        # low-l: centered conjugate draw
+        dl_c = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
+        dl = tuple(
+            jnp.where(jnp.arange(len(dl_c[f])) < self.cut_bin[f],
+                      dl_c[f], state.dl[f])
+            for f in range(len(dl_c)))
+        # high-l: whiten only the high multipoles, blocked MH, recenter
+        dt = s.dtype
+        var_h = self._var_high(dl, dt)
+        inv_sqrt = jnp.where(var_h > 0, 1.0 / jnp.sqrt(
+            jnp.where(var_h > 0, var_h, 1.0)), 0.0)
+        s_pnc = s * inv_sqrt
+
+        def pncp_like(dl_tuple, s_pnc_):
+            var = self._var_high(dl_tuple, dt)
+            s_full = jnp.sqrt(var) * s_pnc_
+            resid = self.model.d - self.model.forward(s_full)
+            return -0.5 * jnp.sum(self.model.noise.inv_noise * resid * resid)
+
+        dl, mh_info = cls_mod.nc_cls_sample(
+            k3, dl, s_pnc, pncp_like, self.bins_list,
+            self.blocks_list, self.prop_sigma_list, n_iter=self.n_iter_mh)
+        s = jnp.sqrt(self._var_high(dl, dt)) * s_pnc
+        info = {"dl": dl, "cr_accept": cr_info.accept,
+                "mh_accept": mh_info.accept}
+        return GibbsState(s=s, dl=dl), info
