@@ -1,0 +1,124 @@
+"""Headline benchmark: C_ell-chain ESS/s at the reference's production scale.
+
+Configuration mirrors the reference's live experiment (main_polarization.py:
+109-126 at NSIDE=256 / lmax=512, BASELINE.md): polarized (E/B) sky, 0.5 deg
+beam, masked (analytic ~80 percent galactic cut standing in for the Planck
+HFI mask the reference loads from NERSC scratch), centered Gibbs with the
+composed auxiliary-Gibbs + MALA constrained-realization step ("Composition !",
+CenteredGibbs.py:833-836) and conjugate inverse-gamma C_ell draws, with
+NCHAINS vmapped chains on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = median-over-bins pooled ESS per wall-clock second.
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is an estimate of the same sampler on the reference stack:
+ESS/iteration is sampler-determined, and one reference iteration costs
+~6 full-sky SHTs at nside=256 on CPU (healpy TQU transforms, ~0.5 s each,
+reference test.py micro-bench) => REF_SEC_PER_ITER = 3.0 s single-chain.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+LMAX = int(os.environ.get("BENCH_LMAX", "512"))
+NCHAINS = int(os.environ.get("BENCH_NCHAINS", "8"))
+N_ITER = int(os.environ.get("BENCH_ITERS", "200"))
+N_WARM = int(os.environ.get("BENCH_WARMUP", "20"))
+REF_SEC_PER_ITER = 3.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+    from gibbssampler_tpu.inference import example_dl, simulate_dataset
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+    from gibbssampler_tpu.schemes import CenteredGibbs
+
+    grid = gauss_legendre_grid(LMAX)
+    # analytic ~80% f_sky galactic cut (the reference's mask role,
+    # config.py:22-28)
+    theta = grid.theta
+    lat = np.abs(np.pi / 2 - theta)
+    ring_keep = (lat > 0.2).astype(np.float64)       # cut +-11.5 deg band
+    mask = np.broadcast_to(ring_keep[:, None], (grid.nrings, grid.nphi))
+
+    dl_ee = example_dl(LMAX, "ee", amp=1000.0)
+    dl_bb = example_dl(LMAX, "bb", amp=1000.0)
+    log(f"building dataset lmax={LMAX} grid={grid.nrings}x{grid.nphi} "
+        f"npix={grid.npix}")
+    model, _ = simulate_dataset(
+        jax.random.PRNGKey(0), LMAX, spin=2,
+        dl_fields=np.stack([dl_ee, dl_bb]),
+        noise_sigma2=0.2 ** 2,                        # reference pol noise
+        fwhm_radians=np.radians(0.5), mask=mask, dtype=jnp.float32)
+
+    # Planck-style binning: unit bins to l=50, then widening (config.py:45-46)
+    edges = list(range(2, 51))
+    l = 50
+    while l < LMAX + 1:
+        w = 10 if l < 200 else 30
+        l = min(l + w, LMAX + 1)
+        edges.append(l)
+    bins = np.array(edges)
+    scheme = CenteredGibbs(model, [bins, bins], cr_method="aux_mala",
+                           cr_options={"n_gibbs": 1, "tau": 0.02})
+    return scheme, (dl_ee, dl_bb, bins)
+
+
+def main():
+    import jax
+    scheme, (dl_ee, dl_bb, bins) = build()
+    from gibbssampler_tpu.harmonics import bin_sum
+    import jax.numpy as jnp
+    nb = len(bins) - 1
+    counts = np.asarray(bin_sum(jnp.ones(LMAX + 1), bins, LMAX))
+    dl0 = tuple(np.asarray(bin_sum(jnp.asarray(d), bins, LMAX)) / counts
+                for d in (dl_ee, dl_bb))
+
+    log(f"warmup {N_WARM} iters (compile)...")
+    t0 = time.time()
+    out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=N_WARM,
+                     nchains=NCHAINS)
+    jax.block_until_ready(out["dl_chains"])
+    log(f"warmup done in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = scheme.run(jax.random.PRNGKey(2), dl0, n_iter=N_ITER,
+                     nchains=NCHAINS)
+    jax.block_until_ready(out["dl_chains"])
+    wall = time.time() - t0
+    log(f"{N_ITER} iters x {NCHAINS} chains in {wall:.1f}s "
+        f"({wall / N_ITER * 1e3:.1f} ms/iter)")
+
+    from gibbssampler_tpu.diagnostics import summarize_chains
+    ess = []
+    for f in range(2):
+        s = summarize_chains(np.asarray(out["dl_chains"][f]), burn_frac=0.2)
+        ess.append(s["ess"])
+    ess = np.concatenate(ess)
+    ess_med = float(np.median(ess))
+    value = ess_med / wall
+    # baseline: same sampler ESS/iter on the reference CPU stack
+    ess_per_iter = ess_med / (0.8 * N_ITER)  # post-burn iterations
+    baseline = ess_per_iter / REF_SEC_PER_ITER
+    log(f"median ESS {ess_med:.1f} over {wall:.1f}s; "
+        f"per-iter {ess_per_iter:.3f}; baseline est {baseline:.4f} ESS/s")
+    print(json.dumps({
+        "metric": f"Cl-chain median ESS/s, polarized masked Gibbs, "
+                  f"lmax={LMAX}, {NCHAINS} chains",
+        "value": round(value, 3),
+        "unit": "ESS/s",
+        "vs_baseline": round(value / baseline, 1) if baseline > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Cross-chain proposal adaptation.
+
+Replaces the reference's offline two-phase workflow — run preliminary chains,
+reload all SLURM-array outputs, pool their variances, hand-tune per-block
+fudge factors, relaunch (config.py:136-225) — with in-band warmup segments:
+pooled posterior variances across the (possibly device-sharded) chain axis
+set the truncated-normal proposal scales, targeting the standard
+random-walk-optimal acceptance."""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["pooled_proposal_sigmas", "adapt_segments"]
+
+
+def pooled_proposal_sigmas(dl_chains, scale: float = 2.38,
+                           floor: float = 1e-12):
+    """Proposal sd per bin from pooled chain variance: 2.38 * sd(D_bin)
+    (optimal 1-d random-walk scaling; pooling over chains and iterations
+    replaces config.py:161-189's file pooling)."""
+    dl_chains = np.asarray(dl_chains, dtype=np.float64)
+    sd = dl_chains.reshape(-1, dl_chains.shape[-1]).std(axis=0)
+    return np.maximum(scale * sd, floor)
+
+
+def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
+                   n_segments: int = 3, seg_iters: int = 200,
+                   nchains: int = 8, target_accept=(0.2, 0.5)):
+    """Warmup loop: run a segment, pool variances + acceptance across chains,
+    rescale the proposal sigmas, rebuild the scheme (static re-jit per
+    segment), and return the tuned sigmas plus the warm state.
+
+    make_scheme(prop_sigma_list) -> scheme with an MH C_ell step.
+    """
+    import jax
+
+    sig = [np.asarray(s, dtype=np.float64) for s in sigma0_list]
+    out = None
+    for seg in range(n_segments):
+        key, krun = jax.random.split(key)
+        scheme = make_scheme([s.copy() for s in sig])
+        out = scheme.run(krun, dl_init_tuple, n_iter=seg_iters,
+                         nchains=nchains)
+        new_sig = []
+        for f, chain in enumerate(out["dl_chains"]):
+            base = pooled_proposal_sigmas(np.asarray(chain))
+            acc = np.asarray(out["mh_accept"][f]).mean() \
+                if "mh_accept" in out else 0.3
+            # gentle global rescale toward the target acceptance window
+            lo, hi = target_accept
+            factor = 1.0
+            if acc < lo:
+                factor = max(acc / lo, 0.3)
+            elif acc > hi:
+                factor = min(1.0 + (acc - hi) * 2.0, 3.0)
+            new_sig.append(np.maximum(base * factor, 1e-12))
+        sig = new_sig
+        dl_init_tuple = tuple(
+            np.asarray(c)[:, -1, :].mean(axis=0)
+            for c in out["dl_chains"])
+    return sig, dl_init_tuple, out

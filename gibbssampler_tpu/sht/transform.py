@@ -5,15 +5,23 @@ what the reference gets from healpy/libsharp on CPU (hp.alm2map / hp.map2alm /
 adjoint synthesis; reference: utils.py:79-111, CenteredGibbs.py:505-513,
 ClsSampler.py:100-110).  Structure:
 
-  synthesis  (alm -> map):  per-m Legendre matmul over l  ->  ring (i)rFFT
-  analysis   (map -> alm):  ring rFFT  ->  per-m weighted Legendre matmul
+  synthesis  (alm -> map):  per-m Legendre matmul over l  ->  azimuthal stage
+  analysis   (map -> alm):  azimuthal stage               ->  weighted Legendre matmul
+
+The azimuthal (longitude) stage has two interchangeable implementations:
+
+- ``fft_mode="matmul"`` (default): real cos/sin DFT matmuls.  Entirely
+  real-valued — TPU backends without complex support run this, and the MXU
+  executes it at matmul speed (for nphi ~ 2 lmax the cost matches the
+  Legendre stage, so the quadratic azimuthal stage is not the bottleneck).
+- ``fft_mode="fft"``: complex rFFTs (CPU/GPU).
 
 Both stages batch over arbitrary leading axes (fields, chains), so vmapping
-chains turns the Legendre stage into large MXU matmuls.  On the Gauss–
-Legendre grid ``analysis`` is the exact inverse of ``synthesis`` and
-``adjoint_synthesis`` is the exact transpose of ``synthesis`` (verified to
-machine precision in tests) — one consistent A / A^T everywhere, fixing the
-reference's mixed iter=3/iter=0 adjoint discipline (SURVEY.md 2.6.9).
+chains turns everything into large MXU matmuls.  On the Gauss–Legendre grid
+``analysis`` is the exact inverse of ``synthesis`` and ``adjoint_synthesis``
+is the exact transpose (verified to machine precision in tests) — one
+consistent A / A^T everywhere, fixing the reference's mixed iter=3/iter=0
+adjoint discipline (SURVEY.md 2.6.9).
 
 alm are real-packed vectors (see harmonics.packing); maps are
 (..., nrings, nphi) real arrays.
@@ -32,24 +40,23 @@ from .legendre import legendre_table, spin2_lambda_tables
 __all__ = ["SHT", "make_sht"]
 
 
-def _complex_dtype(real_dtype):
-    return jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
-
-
 class SHT:
     """Precomputed transform operators for one (grid, lmax, dtype).
 
-    Holds the Legendre operator tensors on device and exposes pure, jittable
-    methods.  Instances are cheap to close over in jitted sampler steps (the
-    tables become baked-in device constants).
+    Holds the Legendre operator tensors and azimuthal DFT matrices on device
+    and exposes pure, jittable methods.  Instances are cheap to close over in
+    jitted sampler steps.  ``_constrain_F`` is an optional hook (set by
+    gibbssampler_tpu.parallel.shard_sht) that applies GSPMD sharding
+    constraints to the ring-Fourier intermediate.
     """
 
     def __init__(self, grid: SphereGrid, lmax: int, dtype=jnp.float32,
-                 spin2: bool = False):
+                 spin2: bool = False, fft_mode: str = "matmul"):
         self.grid = grid
         self.lmax = lmax
         self.dtype = jnp.dtype(dtype)
-        self.cdtype = _complex_dtype(self.dtype)
+        self.fft_mode = fft_mode
+        self._constrain_F = None
         L = lmax + 1
         if grid.nphi < 2 * lmax + 2:
             raise ValueError(
@@ -62,43 +69,80 @@ class SHT:
                               dtype=self.dtype)
         self.nphi = grid.nphi
         self.nrings = grid.nrings
-        # per-ring, per-m phase e^{i m phi0_r}
+        # per-ring, per-m phase rotation for the first-pixel offset phi0
         m = np.arange(L)
-        phase = np.exp(1j * np.outer(grid.phi0, m))  # (nr, L)
+        ang = np.outer(grid.phi0, m)                 # (nr, L)
         self.has_phase = bool(np.any(grid.phi0 != 0.0))
-        self.phase = jnp.asarray(phase, dtype=self.cdtype)
+        self.phase_cos = jnp.asarray(np.cos(ang), dtype=self.dtype)
+        self.phase_sin = jnp.asarray(np.sin(ang), dtype=self.dtype)
+        # azimuthal DFT matrices: ang2[m, j] = 2 pi m j / nphi
+        ang2 = 2.0 * np.pi * np.outer(m, np.arange(grid.nphi)) / grid.nphi
+        self.dft_cos = jnp.asarray(np.cos(ang2), dtype=self.dtype)  # (L, nphi)
+        self.dft_sin = jnp.asarray(np.sin(ang2), dtype=self.dtype)
         self.lam_p2 = self.lam_m2 = None
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, grid.theta)
             self.lam_p2 = jnp.asarray(lp, dtype=self.dtype)
             self.lam_m2 = jnp.asarray(lm_, dtype=self.dtype)
 
+    # -- shared azimuthal-stage helpers (all real arithmetic) -------------
+
+    def _rot(self, Fre, Fim, sign=+1):
+        """Rotate ring Fourier coefficients by e^{sign * i m phi0_r}."""
+        if not self.has_phase:
+            return Fre, Fim
+        c, s = self.phase_cos, sign * self.phase_sin
+        return Fre * c - Fim * s, Fre * s + Fim * c
+
+    def _ring_ifft_real(self, Fre, Fim):
+        """f[.., r, j] = sum_m (2 - delta_m0) (Fre cos(m phi_j) - Fim sin).
+
+        Fre/Fim: (..., nr, L).  Real-matmul or rFFT depending on fft_mode."""
+        Fre, Fim = self._rot(Fre, Fim, +1)
+        if self.fft_mode == "fft":
+            F = Fre + 1j * Fim
+            pad = self.nphi // 2 + 1 - (self.lmax + 1)
+            F = jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, pad)])
+            return jnp.fft.irfft(F, n=self.nphi, axis=-1) * self.nphi
+        cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
+        return (Fre * cm) @ self.dft_cos - (Fim * cm) @ self.dft_sin
+
+    def _ring_fft_real(self, maps):
+        """G_m = sum_j f e^{-i m phi_j}; returns (Gre, Gim), (..., nr, L)."""
+        maps = maps.astype(self.dtype)
+        if self.fft_mode == "fft":
+            G = jnp.fft.rfft(maps, axis=-1)[..., : self.lmax + 1]
+            Gre, Gim = G.real, G.imag
+        else:
+            Gre = maps @ self.dft_cos.T
+            Gim = -(maps @ self.dft_sin.T)
+        return self._rot(Gre, Gim, -1)
+
     # -- spin 0 ------------------------------------------------------------
 
     def _legendre_synth(self, flat, lam):
-        """flat alm -> F[..., nr, m] (complex ring Fourier coefficients)."""
+        """flat alm -> (Fre, Fim) ring Fourier coefficients (..., nr, L)."""
         re, im = flat_to_grid(flat.astype(self.dtype), self.lmax)
         Fre = jnp.einsum("mlr,...ml->...rm", lam, re)
         Fim = jnp.einsum("mlr,...ml->...rm", lam, im)
-        return Fre + 1j * Fim
+        if self._constrain_F is not None:
+            Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
+        return Fre, Fim
 
     def synthesis(self, flat: jnp.ndarray) -> jnp.ndarray:
         """A: real-packed alm (..., (lmax+1)^2) -> map (..., nr, nphi)."""
-        F = self._legendre_synth(flat, self.lam0)
-        if self.has_phase:
-            F = F * self.phase
-        pad = self.nphi // 2 + 1 - (self.lmax + 1)
-        F = jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, pad)])
-        return jnp.fft.irfft(F, n=self.nphi, axis=-1) * self.nphi
+        Fre, Fim = self._legendre_synth(flat, self.lam0)
+        return self._ring_ifft_real(Fre, Fim)
 
     def _analysis_core(self, maps, ring_w):
         """map -> real-packed alm with per-ring weights ring_w."""
-        G = jnp.fft.rfft(maps.astype(self.dtype), axis=-1)[..., : self.lmax + 1]
-        if self.has_phase:
-            G = G * jnp.conj(self.phase)
-        G = G * ring_w[:, None]
-        are = jnp.einsum("mlr,...rm->...ml", self.lam0, G.real)
-        aim = jnp.einsum("mlr,...rm->...ml", self.lam0, G.imag)
+        Gre, Gim = self._ring_fft_real(maps)
+        Gre = Gre * ring_w[:, None]
+        Gim = Gim * ring_w[:, None]
+        if self._constrain_F is not None:
+            Gre, Gim = self._constrain_F(Gre), self._constrain_F(Gim)
+        are = jnp.einsum("mlr,...rm->...ml", self.lam0, Gre)
+        aim = jnp.einsum("mlr,...rm->...ml", self.lam0, Gim)
         return grid_to_flat(are, aim, self.lmax)
 
     def analysis(self, maps: jnp.ndarray) -> jnp.ndarray:
@@ -122,52 +166,59 @@ class SHT:
         """(E, B) real-packed alm -> (Q, U) maps.
 
         Convention: Q + iU = sum_lm a+_{lm} 2Y_lm with a+ = -(E + iB),
-        a- = -(E - iB) (IAU/healpy CMB convention).
-        """
+        a- = -(E - iB) (IAU/healpy CMB convention), negative m handled through
+        the reality relations — all arithmetic stays real."""
         self._require_spin2()
         ere, eim = flat_to_grid(e_flat.astype(self.dtype), self.lmax)
         bre, bim = flat_to_grid(b_flat.astype(self.dtype), self.lmax)
         # a+ = -(E + iB), a- = -(E - iB)
         ap_re, ap_im = -(ere - bim), -(eim + bre)
         am_re, am_im = -(ere + bim), -(eim - bre)
-        Fp = (jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_re)
-              + 1j * jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_im))
-        Fm = (jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_re)
-              + 1j * jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_im))
-        if self.has_phase:
-            Fp = Fp * self.phase
-            Fm = Fm * self.phase
-        # assemble full complex FFT bins of P = Q + iU:
-        #   bin m (0..lmax)       <- Fp_m
-        #   bin nphi - m (m>=1)   <- conj(Fm_m)
-        n = self.nphi
-        shape = Fp.shape[:-1] + (n,)
-        G = jnp.zeros(shape, dtype=self.cdtype)
-        G = G.at[..., : self.lmax + 1].set(Fp)
-        neg = jnp.conj(Fm[..., 1:])  # m = 1..lmax -> bins n-1 .. n-lmax
-        G = G.at[..., n - self.lmax:].add(neg[..., ::-1])
-        P = jnp.fft.ifft(G, n=n, axis=-1) * n
-        return P.real, P.imag
+        Fp_re = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_re)
+        Fp_im = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_im)
+        Fm_re = jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_re)
+        Fm_im = jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_im)
+        if self._constrain_F is not None:
+            Fp_re, Fp_im = self._constrain_F(Fp_re), self._constrain_F(Fp_im)
+            Fm_re, Fm_im = self._constrain_F(Fm_re), self._constrain_F(Fm_im)
+        Fp_re, Fp_im = self._rot(Fp_re, Fp_im, +1)
+        Fm_re, Fm_im = self._rot(Fm_re, Fm_im, +1)
+        # P(phi) = sum_{m>=0} F+ e^{im phi} + sum_{m>0} conj(F-) e^{-im phi}
+        # Q = Re P, U = Im P; the m > 0 negative-frequency terms add/subtract:
+        pos = jnp.ones((self.lmax + 1,), self.dtype).at[0].set(0.0)
+        Are = Fp_re + Fm_re * pos
+        Aim = Fp_im + Fm_im * pos
+        Bre = Fp_re - Fm_re * pos
+        Bim = Fp_im - Fm_im * pos
+        q = Are @ self.dft_cos - Aim @ self.dft_sin
+        u = Bre @ self.dft_sin + Bim @ self.dft_cos
+        return q, u
 
     def _analysis_spin2_core(self, q_maps, u_maps, ring_w):
         self._require_spin2()
-        P = q_maps.astype(self.dtype) + 1j * u_maps.astype(self.dtype)
-        C = jnp.fft.fft(P, axis=-1)
-        L = self.lmax + 1
-        Cp = C[..., :L]                       # sum_j P e^{-i m phi_j}, m >= 0
-        Cm_rev = C[..., self.nphi - self.lmax:]
-        Cm = jnp.concatenate([C[..., :1], Cm_rev[..., ::-1]], axis=-1)
-        # Cm[m] = sum_j P e^{+i m phi_j}
-        if self.has_phase:
-            Cp = Cp * jnp.conj(self.phase)
-            Cm = Cm * self.phase
-        Cp = Cp * ring_w[:, None]
-        Cm = Cm * ring_w[:, None]
-        # a+_{lm} = sum_r w 2lam_lm Cp ;  a-_{lm} = sum_r w -2lam_lm conj(Cm)
-        ap_re = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp.real)
-        ap_im = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp.imag)
-        am_re = jnp.einsum("mlr,...rm->...ml", self.lam_m2, Cm.real)
-        am_im = jnp.einsum("mlr,...rm->...ml", self.lam_m2, -Cm.imag)
+        q = q_maps.astype(self.dtype)
+        u = u_maps.astype(self.dtype)
+        # C+_m = sum_j (Q + iU) e^{-im phi_j};  C-_m = sum_j (Q + iU) e^{+im phi_j}
+        qc = q @ self.dft_cos.T
+        qs = q @ self.dft_sin.T
+        uc = u @ self.dft_cos.T
+        us = u @ self.dft_sin.T
+        Cp_re, Cp_im = qc + us, uc - qs
+        Cm_re, Cm_im = qc - us, uc + qs
+        Cp_re, Cp_im = self._rot(Cp_re, Cp_im, -1)
+        Cm_re, Cm_im = self._rot(Cm_re, Cm_im, +1)
+        Cp_re = Cp_re * ring_w[:, None]
+        Cp_im = Cp_im * ring_w[:, None]
+        Cm_re = Cm_re * ring_w[:, None]
+        Cm_im = Cm_im * ring_w[:, None]
+        if self._constrain_F is not None:
+            Cp_re, Cp_im = self._constrain_F(Cp_re), self._constrain_F(Cp_im)
+            Cm_re, Cm_im = self._constrain_F(Cm_re), self._constrain_F(Cm_im)
+        # a+_{lm} = sum_r w 2lam_lm C+ ; a-_{lm} = sum_r w -2lam_lm conj(C-)
+        ap_re = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp_re)
+        ap_im = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp_im)
+        am_re = jnp.einsum("mlr,...rm->...ml", self.lam_m2, Cm_re)
+        am_im = jnp.einsum("mlr,...rm->...ml", self.lam_m2, -Cm_im)
         # E = -(a+ + a-)/2,  B = i (a+ - a-)/2
         e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
         b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
@@ -185,8 +236,8 @@ class SHT:
 
 
 def make_sht(lmax: int, grid: SphereGrid | None = None, dtype=jnp.float32,
-             spin2: bool = False) -> SHT:
+             spin2: bool = False, fft_mode: str = "matmul") -> SHT:
     """Build an SHT for ``lmax`` (Gauss–Legendre grid by default)."""
     if grid is None:
         grid = gauss_legendre_grid(lmax)
-    return SHT(grid, lmax, dtype=dtype, spin2=spin2)
+    return SHT(grid, lmax, dtype=dtype, spin2=spin2, fft_mode=fft_mode)

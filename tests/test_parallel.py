@@ -1,0 +1,73 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (stand-in for a TPU
+pod slice; SURVEY.md 4 'Implication for the rebuild')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gibbssampler_tpu.harmonics import nflat
+from gibbssampler_tpu.inference import example_dl, simulate_dataset
+from gibbssampler_tpu.ops import SkyModel
+from gibbssampler_tpu.parallel import make_mesh, shard_sht, sharded_run
+from gibbssampler_tpu.schemes import CenteredGibbs
+
+LMAX = 8
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_run_matches_unsharded():
+    dl = example_dl(LMAX, amp=10.0)
+    model, _ = simulate_dataset(jax.random.PRNGKey(0), LMAX, spin=0,
+                                dl_fields=dl[None], noise_sigma2=1.0,
+                                dtype=jnp.float64)
+    bins = np.arange(2, LMAX + 2)
+    scheme = CenteredGibbs(model, [bins], cr_method="exact")
+    mesh = make_mesh(n_chains=8, n_m=1)
+    out_s = sharded_run(scheme, jax.random.PRNGKey(1), (dl[2:],),
+                        n_iter=50, nchains=8, mesh=mesh)
+    out_u = scheme.run(jax.random.PRNGKey(1), (dl[2:],), n_iter=50, nchains=8)
+    np.testing.assert_allclose(np.asarray(out_s["dl_chains"][0]),
+                               np.asarray(out_u["dl_chains"][0]),
+                               rtol=1e-10)
+
+
+def test_m_sharded_sht_matches_single_device():
+    mesh = make_mesh(n_chains=2, n_m=4)
+    from gibbssampler_tpu.sht import make_sht
+    sht = make_sht(LMAX, dtype=jnp.float64)
+    msht = shard_sht(sht, mesh)
+    key = jax.random.PRNGKey(2)
+    flat = jax.random.normal(key, (4, nflat(LMAX)))
+
+    with mesh:
+        maps = jax.jit(msht.synthesis)(flat)
+        back = jax.jit(msht.analysis)(maps)
+    ref = sht.synthesis(flat)
+    np.testing.assert_allclose(np.asarray(maps), np.asarray(ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(flat), atol=1e-11)
+
+
+def test_sharded_model_gibbs_step():
+    """Full Gibbs step jitted over a ('chains', 'm') mesh with the SHT's
+    m axis sharded (dp x sp-analogue)."""
+    mesh = make_mesh(n_chains=2, n_m=4)
+    dl = example_dl(LMAX, amp=10.0)
+    model, _ = simulate_dataset(jax.random.PRNGKey(3), LMAX, spin=0,
+                                dl_fields=dl[None], noise_sigma2=1.0,
+                                dtype=jnp.float64)
+    model_sharded = SkyModel(sht=shard_sht(model.sht, mesh),
+                             noise=model.noise, bl=model.bl,
+                             spin=model.spin, d=model.d)
+    bins = np.arange(2, LMAX + 2)
+    scheme = CenteredGibbs(model_sharded, [bins], cr_method="cg",
+                           cr_options={"cg_tol": 1e-9, "cg_maxiter": 200})
+    with mesh:
+        out = sharded_run(scheme, jax.random.PRNGKey(4), (dl[2:],),
+                          n_iter=10, nchains=4, mesh=mesh)
+    chain = np.asarray(out["dl_chains"][0])
+    assert chain.shape == (4, 10, LMAX - 1)
+    assert np.isfinite(chain).all()
