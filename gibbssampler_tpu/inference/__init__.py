@@ -1,5 +1,8 @@
 """Experiment layer: simulation, configuration, runners, checkpoints."""
 
 from .simulate import example_dl, synfast, simulate_dataset
+from .runner import RunConfig, run_experiment, save_checkpoint, load_checkpoint
 
-__all__ = ["example_dl", "synfast", "simulate_dataset"]
+__all__ = ["example_dl", "synfast", "simulate_dataset",
+           "RunConfig", "run_experiment", "save_checkpoint",
+           "load_checkpoint"]

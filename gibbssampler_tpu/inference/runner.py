@@ -1,0 +1,230 @@
+"""Experiment runner: typed config, segmented runs, checkpoint/resume.
+
+Replaces the reference's entry-point script + import-time config module +
+end-of-run pickle (main_polarization.py:62-185, config.py, SURVEY.md 5):
+
+- configuration is an explicit dataclass (no import-time I/O, no module
+  globals, no `and False` dispatch)
+- the run is segmented: every segment appends to the chain history and
+  writes a resumable snapshot (PRNG key, current state, chain so far) —
+  the reference had no mid-run checkpointing (a crashed SLURM task lost
+  everything, SURVEY.md 5 'Failure detection')
+- results are saved as an .npz with the reference's result-dict fields
+  (chains, acceptances, per-segment durations, full configuration;
+  main_polarization.py:175-185)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..diagnostics import summarize_chains
+from ..harmonics.spectra import bin_sum
+from ..ops import NoiseModel, SkyModel
+from ..schemes import CenteredGibbs, NonCenteredGibbs, ASISGibbs, PNCPGibbs
+from .simulate import example_dl, simulate_dataset
+
+__all__ = ["RunConfig", "run_experiment", "save_checkpoint", "load_checkpoint"]
+
+
+@dataclass
+class RunConfig:
+    """Everything the reference scattered over config.py, as one value."""
+
+    lmax: int = 64
+    spin: int = 0                        # 0: TT, 2: EE/BB
+    scheme: str = "centered"             # centered | noncentered | asis | pncp
+    cr_method: str = "exact"             # see schemes.CR_METHODS
+    cr_options: dict = field(default_factory=dict)
+    noise_sigma2: float = 1.0            # reference: 40^2 TT / 0.2^2 pol
+    fwhm_deg: float = 0.0                # reference: 0.5 deg
+    mask_band_deg: float = 0.0           # analytic galactic cut half-width
+    bins: Optional[np.ndarray] = None    # default: unit bins from l=2
+    blocks_size: int = 8                 # MH block width in bins
+    n_iter_mh: int = 1
+    l_cut: int = 0                       # PNCP split
+    n_iter: int = 1000
+    nchains: int = 4
+    segment: int = 500                   # iterations per checkpoint segment
+    seed: int = 0
+    dtype: str = "float32"
+    all_sph: bool = False
+    out: str = "run_results.npz"
+
+    def bins_list(self):
+        bins = (self.bins if self.bins is not None
+                else np.arange(2, self.lmax + 2))
+        nf = 2 if self.spin == 2 else 1
+        return [np.asarray(bins)] * nf
+
+
+def _build(cfg: RunConfig):
+    dtype = jnp.dtype(cfg.dtype)
+    if cfg.spin == 0:
+        fields = example_dl(cfg.lmax, amp=1000.0)[None]
+    else:
+        fields = np.stack([example_dl(cfg.lmax, "ee", amp=1000.0),
+                           example_dl(cfg.lmax, "bb", amp=1000.0)])
+    mask = None
+    if cfg.mask_band_deg > 0:
+        from ..sht import gauss_legendre_grid
+        grid = gauss_legendre_grid(cfg.lmax)
+        lat = np.abs(np.pi / 2 - grid.theta)
+        keep = (lat > np.radians(cfg.mask_band_deg)).astype(np.float64)
+        mask = np.broadcast_to(keep[:, None], (grid.nrings, grid.nphi))
+    model, truth = simulate_dataset(
+        jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
+        dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
+        fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype)
+
+    bins_list = cfg.bins_list()
+    nb = len(bins_list[0]) - 1
+    blocks = [(i, min(i + cfg.blocks_size, nb))
+              for i in range(0, nb, cfg.blocks_size)]
+    counts = np.asarray(bin_sum(jnp.ones(cfg.lmax + 1), bins_list[0],
+                                cfg.lmax))
+    dl0 = tuple(np.asarray(bin_sum(jnp.asarray(f), b, cfg.lmax)) / counts
+                for f, b in zip(fields, bins_list))
+    sig = [np.maximum(np.abs(d0), 1e-6) * 0.3 for d0 in dl0]
+
+    kw = dict(cr_method=cfg.cr_method, cr_options=dict(cfg.cr_options))
+    d_alm = None
+    if cfg.all_sph:
+        d_alm = model.adjoint_synthesis(model.d) * 0  # placeholder
+        if cfg.spin == 0:
+            d_alm = model.sht.analysis(model.d[0])[None]
+        else:
+            e, b = model.sht.analysis_spin2(model.d[0], model.d[1])
+            d_alm = jnp.stack([e, b])
+    if cfg.scheme == "centered":
+        scheme = CenteredGibbs(model, bins_list, **kw)
+    elif cfg.scheme == "noncentered":
+        scheme = NonCenteredGibbs(model, bins_list, [blocks] * len(bins_list),
+                                  sig, n_iter_mh=cfg.n_iter_mh,
+                                  all_sph=cfg.all_sph, d_alm=d_alm, **kw)
+    elif cfg.scheme == "asis":
+        scheme = ASISGibbs(model, bins_list, [blocks] * len(bins_list), sig,
+                           n_iter_mh=cfg.n_iter_mh, all_sph=cfg.all_sph,
+                           d_alm=d_alm, **kw)
+    elif cfg.scheme == "pncp":
+        scheme = PNCPGibbs(model, bins_list, [blocks] * len(bins_list), sig,
+                           l_cut=cfg.l_cut, n_iter_mh=cfg.n_iter_mh, **kw)
+    else:
+        raise ValueError(f"unknown scheme {cfg.scheme!r}")
+    return scheme, dl0, truth
+
+
+def save_checkpoint(path, key, state, chains, iters_done):
+    """Resumable snapshot: PRNG key + sampler state + chain history so far
+    (the rebuild of the missing mid-run checkpointing, SURVEY.md 5)."""
+    flat = {"iters_done": iters_done, "key": np.asarray(key)}
+    for f, c in enumerate(chains):
+        flat[f"chain_{f}"] = np.asarray(c)
+    flat["state_s"] = np.asarray(state.s)
+    for f, d in enumerate(state.dl):
+        flat[f"state_dl_{f}"] = np.asarray(d)
+    tmp = str(path) + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, str(path))
+
+
+def load_checkpoint(path):
+    if not os.path.exists(str(path)):
+        return None
+    z = np.load(str(path))
+    nf = len([k for k in z.files if k.startswith("state_dl_")])
+    from ..schemes import GibbsState
+    state = GibbsState(
+        s=jnp.asarray(z["state_s"]),
+        dl=tuple(jnp.asarray(z[f"state_dl_{f}"]) for f in range(nf)))
+    chains = [z[f"chain_{f}"] for f in range(nf)]
+    return dict(iters_done=int(z["iters_done"]), key=jnp.asarray(z["key"]),
+                state=state, chains=chains)
+
+
+def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
+    """Segmented run with checkpoint/resume; returns the results dict and
+    writes it to cfg.out."""
+    scheme, dl0, truth = _build(cfg)
+    ckpt_path = cfg.out + ".ckpt.npz"
+    ck = load_checkpoint(ckpt_path) if resume else None
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    if ck is None:
+        iters_done = 0
+        chains = None
+        kinit, key = jax.random.split(key)
+        init_keys = jax.random.split(kinit, cfg.nchains)
+        states = jax.vmap(lambda k: scheme.init_state(k, dl0))(init_keys)
+    else:
+        iters_done = ck["iters_done"]
+        chains = ck["chains"]
+        states = ck["state"]
+        key = ck["key"]
+        verbose(f"resumed at iteration {iters_done}")
+
+    durations = []
+    accepts = []
+    while iters_done < cfg.n_iter:
+        seg = min(cfg.segment, cfg.n_iter - iters_done)
+        key, krun = jax.random.split(key)
+        t0 = time.time()
+        states, out = _run_segment(scheme, states, krun, seg, cfg.nchains)
+        jax.block_until_ready(out["dl"])
+        dt = time.time() - t0
+        durations.append(dt)
+        seg_chains = [np.moveaxis(np.asarray(out["dl"][f]), 0, 1)
+                      for f in range(len(dl0))]
+        if "cr_accept" in out:
+            accepts.append(np.asarray(out["cr_accept"]).mean())
+        chains = (seg_chains if chains is None else
+                  [np.concatenate([c, s], axis=1)
+                   for c, s in zip(chains, seg_chains)])
+        iters_done += seg
+        save_checkpoint(ckpt_path, key, jax.tree.map(lambda a: a, states),
+                        chains, iters_done)
+        verbose(f"segment done: {iters_done}/{cfg.n_iter} iters "
+                f"({dt:.1f}s, {dt / seg * 1e3:.0f} ms/iter)")
+
+    summaries = [summarize_chains(c) for c in chains]
+    results = {
+        "config": json.dumps({k: (v.tolist() if isinstance(v, np.ndarray)
+                                  else v)
+                              for k, v in dataclasses.asdict(cfg).items()}),
+        "durations": np.asarray(durations),
+        "cr_accepts": np.asarray(accepts),
+    }
+    for f, c in enumerate(chains):
+        results[f"dl_chain_{f}"] = c
+        results[f"ess_{f}"] = summaries[f]["ess"]
+        results[f"rhat_{f}"] = summaries[f]["rhat"]
+        results[f"mean_{f}"] = summaries[f]["mean"]
+    np.savez(cfg.out, **results)
+    try:
+        os.remove(ckpt_path)
+    except OSError:
+        pass
+    return results
+
+
+def _run_segment(scheme, states, key, n_iter, nchains):
+    def one_iter(states, k):
+        keys = jax.random.split(k, nchains)
+        states, info = jax.vmap(scheme.step)(keys, states)
+        return states, info
+
+    @jax.jit
+    def scan_all(states, keys):
+        return jax.lax.scan(one_iter, states, keys)
+
+    keys = jax.random.split(key, n_iter)
+    return scan_all(states, keys)

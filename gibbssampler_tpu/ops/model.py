@@ -54,6 +54,18 @@ class SkyModel:
     def nflat(self) -> int:
         return nflat(self.lmax)
 
+    @property
+    def map_ndim(self) -> int:
+        """Pixel-array rank: 2 for (nrings, nphi) grids, 1 for HEALPix."""
+        return getattr(self.sht, "map_ndim", 2)
+
+    def _field(self, f: jnp.ndarray, i: int) -> jnp.ndarray:
+        """Select field i from (..., nfields, *pix)."""
+        return jnp.take(f, i, axis=f.ndim - self.map_ndim - 1)
+
+    def _stack_fields(self, fields) -> jnp.ndarray:
+        return jnp.stack(fields, axis=-(self.map_ndim + 1))
+
     def ell_mask(self, dtype=None) -> jnp.ndarray:
         """(nflat,) 1 where l >= 2, 0 on the fixed monopole/dipole slots."""
         dtype = dtype or self.sht.dtype
@@ -66,17 +78,18 @@ class SkyModel:
         return almxfl(s, self.bl.astype(s.dtype), self.lmax)
 
     def synthesis(self, s: jnp.ndarray) -> jnp.ndarray:
-        """A s: (..., nfields, nflat) -> (..., nfields, nr, nphi)."""
+        """A s: (..., nfields, nflat) -> (..., nfields, *pix)."""
         if self.spin == 0:
-            return self.sht.synthesis(s[..., 0, :])[..., None, :, :]
+            return self._stack_fields([self.sht.synthesis(s[..., 0, :])])
         q, u = self.sht.synthesis_spin2(s[..., 0, :], s[..., 1, :])
-        return jnp.stack([q, u], axis=-3)
+        return self._stack_fields([q, u])
 
     def adjoint_synthesis(self, f: jnp.ndarray) -> jnp.ndarray:
-        """A^T f: (..., nfields, nr, nphi) -> (..., nfields, nflat)."""
+        """A^T f: (..., nfields, *pix) -> (..., nfields, nflat)."""
         if self.spin == 0:
-            return self.sht.adjoint_synthesis(f[..., 0, :, :])[..., None, :]
-        e, b = self.sht.adjoint_synthesis_spin2(f[..., 0, :, :], f[..., 1, :, :])
+            return self.sht.adjoint_synthesis(self._field(f, 0))[..., None, :]
+        e, b = self.sht.adjoint_synthesis_spin2(self._field(f, 0),
+                                                self._field(f, 1))
         return jnp.stack([e, b], axis=-2)
 
     def forward(self, s: jnp.ndarray) -> jnp.ndarray:

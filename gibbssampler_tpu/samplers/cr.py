@@ -153,8 +153,8 @@ def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
     noise = model.noise
     dt = var_cls.dtype
     mu_bar = noise.tau_max.astype(dt) + eps          # (nfields,)
-    gap = (noise.q_profile[None, :, None]
-           * (mu_bar[:, None, None] - noise.tau)).astype(dt)  # (nf, nr, nphi)
+    gap = (noise.q_map * (noise.field_bcast(mu_bar)
+                          - noise.tau)).astype(dt)   # (nfields, *pix)
     gap = jnp.maximum(gap, 0.0)
     inv_cvar = _safe_inv(var_cls)
     ell_of = jnp.asarray(index_maps(model.lmax).ell_of)

@@ -96,6 +96,8 @@ class HealpixSHT:
     :class:`~gibbssampler_tpu.sht.transform.SHT` but maps are RING-ordered
     pixel vectors (..., npix)."""
 
+    map_ndim = 1   # maps are flat (..., npix) RING-order vectors
+
     def __init__(self, nside: int, lmax: int, dtype=jnp.float32,
                  spin2: bool = False):
         geo = healpix_geometry(nside)
@@ -234,10 +236,9 @@ class HealpixSHT:
             batch + (self.nbelt, nb))
         Cb = belt @ self.belt_cos.T
         Sb = belt @ self.belt_sin.T
-        # transpose of the phi0 rotation: (C - iS) picks up e^{-i m phi0}
-        # on the (C, -S) pair; equivalently rotate (Cb, Sb) by -phi0 with
-        # the same real rotation used forward
-        Cb, Sb = self._belt_rot(Cb, Sb, -1)
+        # transpose of the phi0 rotation: the complex pair (C - iS) picks up
+        # e^{-i m phi0}, which on the (C, +S) pair is a rotation by +phi0
+        Cb, Sb = self._belt_rot(Cb, Sb, +1)
         Cs.append(Cb)
         Ss.append(Sb)
         if self.ncap > 0:

@@ -26,8 +26,41 @@ precompute for large lmax; the numpy path is the reference implementation.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import pathlib
+
 import numpy as np
 from scipy.special import gammaln
+
+
+def _cache_dir() -> pathlib.Path:
+    d = pathlib.Path(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.expanduser("~/.cache")))
+    d = d / "gibbssampler_tpu" / "tables"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _cached(kind: str, lmax: int, extra, nodes: np.ndarray, compute):
+    """Disk-cache fp64 operator tables keyed by (kind, lmax, extra, nodes):
+    the precompute is O(lmax^2 nrings) host work, identical across runs of
+    the same configuration (bench, tests, production)."""
+    h = hashlib.sha1(np.ascontiguousarray(nodes).tobytes()).hexdigest()[:16]
+    f = _cache_dir() / f"{kind}_{lmax}_{extra}_{h}.npy"
+    if f.exists():
+        try:
+            return np.load(f, mmap_mode=None)
+        except Exception:
+            pass
+    out = compute()
+    try:
+        tmp = f.with_suffix(".tmp.npy")
+        np.save(tmp, out)
+        os.replace(tmp, f)
+    except Exception:
+        pass
+    return out
 
 __all__ = [
     "legendre_table",
@@ -47,7 +80,22 @@ def legendre_table(lmax: int, x: np.ndarray) -> np.ndarray:
     Returns
     -------
     (lmax+1, lmax+1, nr) float64 array, [m, l, r]; entries with l < m are 0.
+
+    Dispatches to the native C++/OpenMP engine when available
+    (gibbssampler_tpu.native); the numpy recurrence below is the reference
+    implementation and fallback.
     """
+    x = np.asarray(x, dtype=np.float64)
+
+    def compute():
+        from .. import native
+        out = native.legendre_table(lmax, x)
+        return out if out is not None else _legendre_table_np(lmax, x)
+
+    return _cached("leg", lmax, 0, x, compute)
+
+
+def _legendre_table_np(lmax: int, x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     nr = x.shape[0]
     L = lmax + 1

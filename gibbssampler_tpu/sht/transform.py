@@ -50,6 +50,8 @@ class SHT:
     constraints to the ring-Fourier intermediate.
     """
 
+    map_ndim = 2   # maps are (..., nrings, nphi)
+
     def __init__(self, grid: SphereGrid, lmax: int, dtype=jnp.float32,
                  spin2: bool = False, fft_mode: str = "matmul"):
         self.grid = grid

@@ -1,0 +1,60 @@
+"""Runner / checkpoint-resume tests (SURVEY.md 5 rebuild items)."""
+
+import os
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gibbssampler_tpu.inference import RunConfig, run_experiment, load_checkpoint
+
+
+def test_run_experiment_and_resume(tmp_path):
+    out = str(tmp_path / "res.npz")
+    cfg = RunConfig(lmax=12, spin=0, scheme="centered", cr_method="exact",
+                    n_iter=40, nchains=2, segment=15, dtype="float64",
+                    out=out, noise_sigma2=1.0)
+    logs = []
+    res = run_experiment(cfg, verbose=logs.append)
+    assert os.path.exists(out)
+    z = np.load(out)
+    assert z["dl_chain_0"].shape == (2, 40, 11)
+    assert np.isfinite(z["dl_chain_0"]).all()
+    assert len(z["durations"]) == 3   # 15 + 15 + 10
+    assert not os.path.exists(out + ".ckpt.npz")
+
+    # simulate a crash: run 1 segment, then resume to completion
+    out2 = str(tmp_path / "res2.npz")
+    cfg2 = RunConfig(lmax=12, spin=0, scheme="centered", cr_method="exact",
+                     n_iter=30, nchains=2, segment=10, dtype="float64",
+                     out=out2, noise_sigma2=1.0)
+    # run only the first segment by lying about n_iter, then restore
+    cfg_first = RunConfig(**{**cfg2.__dict__, "n_iter": 10})
+    run_experiment(cfg_first, verbose=lambda *a: None)
+    # re-create the mid-run checkpoint state: run again with full n_iter but
+    # pre-seed the checkpoint from the 10-iteration run
+    os.rename(out2, out2 + ".bak")
+    z10 = np.load(out2 + ".bak")
+    from gibbssampler_tpu.inference import save_checkpoint
+    from gibbssampler_tpu.schemes import GibbsState
+    import jax
+    state = GibbsState(
+        s=jnp.zeros((2, 1, 169)),
+        dl=(jnp.asarray(z10["dl_chain_0"][:, -1, :]),))
+    save_checkpoint(out2 + ".ckpt.npz", jax.random.PRNGKey(9), state,
+                    [z10["dl_chain_0"]], 10)
+    logs2 = []
+    run_experiment(cfg2, resume=True, verbose=logs2.append)
+    assert any("resumed at iteration 10" in str(l) for l in logs2)
+    z = np.load(out2)
+    assert z["dl_chain_0"].shape == (2, 30, 11)
+
+
+def test_run_experiment_asis_allsph(tmp_path):
+    out = str(tmp_path / "asis.npz")
+    cfg = RunConfig(lmax=12, spin=0, scheme="asis", cr_method="exact",
+                    n_iter=20, nchains=2, segment=20, dtype="float64",
+                    out=out, all_sph=True, noise_sigma2=50.0, blocks_size=4)
+    res = run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    assert np.isfinite(z["dl_chain_0"]).all()
+    assert z["ess_0"].shape == (11,)
