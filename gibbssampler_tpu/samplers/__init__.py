@@ -2,7 +2,7 @@
 
 from .cr import (
     exact_cr, cg_cr, rjpo_cr, aux_gibbs_cr, overrelax_cr, mala_cr,
-    aux_then_mala_cr, fluctuated_rhs, cr_precond, CRInfo,
+    aux_then_mala_cr, pcn_cr, fluctuated_rhs, cr_precond, CRInfo,
 )
 from .cls_samplers import (
     invgamma_dl, centered_cls_sample, propose_truncnorm, truncnorm_logratio,
@@ -12,7 +12,7 @@ from .cls_samplers import (
 
 __all__ = [
     "exact_cr", "cg_cr", "rjpo_cr", "aux_gibbs_cr", "overrelax_cr",
-    "mala_cr", "aux_then_mala_cr", "fluctuated_rhs", "cr_precond", "CRInfo",
+    "mala_cr", "aux_then_mala_cr", "pcn_cr", "fluctuated_rhs", "cr_precond", "CRInfo",
     "invgamma_dl", "centered_cls_sample", "propose_truncnorm",
     "truncnorm_logratio", "make_nc_log_likelihood", "nc_cls_sample",
     "invwishart_cls_sample", "whiten", "recenter", "NCClsInfo",

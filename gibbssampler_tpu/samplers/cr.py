@@ -40,7 +40,7 @@ from ..ops.cg import cg_solve
 
 __all__ = [
     "exact_cr", "cg_cr", "rjpo_cr", "aux_gibbs_cr", "overrelax_cr",
-    "mala_cr", "aux_then_mala_cr", "fluctuated_rhs", "cr_precond",
+    "mala_cr", "aux_then_mala_cr", "pcn_cr", "fluctuated_rhs", "cr_precond",
 ]
 
 
@@ -291,3 +291,31 @@ def aux_then_mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     k1, k2 = jax.random.split(key)
     s, _ = aux_gibbs_cr(k1, model, var_cls, bt_ninv_d, s_old, n_gibbs=n_gibbs)
     return mala_cr(k2, model, var_cls, bt_ninv_d, s, tau=tau, accept=True)
+
+
+def pcn_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
+           beta: float = 0.1):
+    """Preconditioned Crank–Nicolson step: prior-reversible proposal
+    s' = sqrt(1 - beta^2) s + beta C^{1/2} xi, accepted on the likelihood
+    ratio alone (dimension-robust).  The reference validated pCN only on a
+    1-d toy (testCN.py:22-41); here it joins the CR portfolio as a
+    first-class algorithm."""
+    dt = var_cls.dtype
+    kp, ka = jax.random.split(key)
+    act = _active(var_cls)
+    s = s_old * act
+    xi = jax.random.normal(kp, var_cls.shape, dtype=dt)
+    s_prop = (jnp.sqrt(1.0 - beta * beta) * s
+              + beta * jnp.sqrt(var_cls) * xi) * act
+
+    d = model.d
+
+    def log_like(x):
+        resid = d - model.forward(x)
+        return -0.5 * jnp.sum(model.noise.inv_noise * resid * resid)
+
+    log_ratio = log_like(s_prop) - log_like(s)
+    u = jax.random.uniform(ka, dtype=dt)
+    acc = jnp.log(u) < log_ratio
+    s_new = jnp.where(acc, s_prop, s)
+    return s_new, CRInfo(accept=acc.astype(dt), extra=log_ratio.astype(dt))

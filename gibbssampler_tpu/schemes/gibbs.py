@@ -36,7 +36,7 @@ class GibbsState(NamedTuple):
 
 
 CR_METHODS = ("exact", "cg", "rjpo", "aux_gibbs", "overrelax", "mala", "ula",
-              "aux_mala")
+              "aux_mala", "pcn")
 
 
 def _make_cr_step(method: str, model: SkyModel, bt_ninv_d, opts: dict):
@@ -69,6 +69,9 @@ def _make_cr_step(method: str, model: SkyModel, bt_ninv_d, opts: dict):
         return lambda key, s, var: cr_mod.aux_then_mala_cr(
             key, model, var, bt_ninv_d, s, n_gibbs=opts.get("n_gibbs", 1),
             tau=opts.get("tau", 0.02))
+    if method == "pcn":
+        return lambda key, s, var: cr_mod.pcn_cr(
+            key, model, var, bt_ninv_d, s, beta=opts.get("beta", 0.1))
     raise ValueError(f"unknown CR method {method!r}; one of {CR_METHODS}")
 
 

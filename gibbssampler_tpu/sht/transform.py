@@ -53,10 +53,17 @@ class SHT:
     map_ndim = 2   # maps are (..., nrings, nphi)
 
     def __init__(self, grid: SphereGrid, lmax: int, dtype=jnp.float32,
-                 spin2: bool = False, fft_mode: str = "matmul"):
+                 spin2: bool = False, fft_mode: str = "matmul",
+                 table_dtype=None):
         self.grid = grid
         self.lmax = lmax
         self.dtype = jnp.dtype(dtype)
+        # operator tables may be stored lower-precision (bfloat16) with
+        # float32 MXU accumulation: halves the HBM traffic of the
+        # bandwidth-bound Legendre stage; ~4e-3 relative operator error,
+        # statistically irrelevant for MCMC (A/A^T stay exact transposes
+        # because both read the same tables)
+        self.table_dtype = jnp.dtype(table_dtype) if table_dtype else self.dtype
         self.fft_mode = fft_mode
         self._constrain_F = None
         L = lmax + 1
@@ -65,7 +72,8 @@ class SHT:
                 f"grid nphi={grid.nphi} too small for lmax={lmax}; need >= {2*lmax+2}")
 
         x = np.cos(grid.theta)
-        self.lam0 = jnp.asarray(legendre_table(lmax, x), dtype=self.dtype)
+        self.lam0 = jnp.asarray(legendre_table(lmax, x),
+                                dtype=self.table_dtype)
         # quadrature weights including the 2 pi / nphi azimuthal factor
         self.wq = jnp.asarray(grid.weights * (2.0 * np.pi / grid.nphi),
                               dtype=self.dtype)
@@ -79,13 +87,14 @@ class SHT:
         self.phase_sin = jnp.asarray(np.sin(ang), dtype=self.dtype)
         # azimuthal DFT matrices: ang2[m, j] = 2 pi m j / nphi
         ang2 = 2.0 * np.pi * np.outer(m, np.arange(grid.nphi)) / grid.nphi
-        self.dft_cos = jnp.asarray(np.cos(ang2), dtype=self.dtype)  # (L, nphi)
-        self.dft_sin = jnp.asarray(np.sin(ang2), dtype=self.dtype)
+        self.dft_cos = jnp.asarray(np.cos(ang2),
+                                   dtype=self.table_dtype)  # (L, nphi)
+        self.dft_sin = jnp.asarray(np.sin(ang2), dtype=self.table_dtype)
         self.lam_p2 = self.lam_m2 = None
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, grid.theta)
-            self.lam_p2 = jnp.asarray(lp, dtype=self.dtype)
-            self.lam_m2 = jnp.asarray(lm_, dtype=self.dtype)
+            self.lam_p2 = jnp.asarray(lp, dtype=self.table_dtype)
+            self.lam_m2 = jnp.asarray(lm_, dtype=self.table_dtype)
 
     # -- shared azimuthal-stage helpers (all real arithmetic) -------------
 
@@ -107,7 +116,12 @@ class SHT:
             F = jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, pad)])
             return jnp.fft.irfft(F, n=self.nphi, axis=-1) * self.nphi
         cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
-        return (Fre * cm) @ self.dft_cos - (Fim * cm) @ self.dft_sin
+        fre = (Fre * cm).astype(self.table_dtype)
+        fim = (Fim * cm).astype(self.table_dtype)
+        out = (jnp.matmul(fre, self.dft_cos, preferred_element_type=self.dtype)
+               - jnp.matmul(fim, self.dft_sin,
+                            preferred_element_type=self.dtype))
+        return out.astype(self.dtype)
 
     def _ring_fft_real(self, maps):
         """G_m = sum_j f e^{-i m phi_j}; returns (Gre, Gim), (..., nr, L)."""
@@ -116,17 +130,35 @@ class SHT:
             G = jnp.fft.rfft(maps, axis=-1)[..., : self.lmax + 1]
             Gre, Gim = G.real, G.imag
         else:
-            Gre = maps @ self.dft_cos.T
-            Gim = -(maps @ self.dft_sin.T)
+            mt = maps.astype(self.table_dtype)
+            Gre = jnp.matmul(mt, self.dft_cos.T,
+                             preferred_element_type=self.dtype).astype(self.dtype)
+            Gim = -jnp.matmul(mt, self.dft_sin.T,
+                              preferred_element_type=self.dtype).astype(self.dtype)
         return self._rot(Gre, Gim, -1)
+
+    # -- einsum cores (re/im stacked so each table is read once) -----------
+
+    def _lsynth2(self, lam, re, im):
+        """[re, im] (..., L, L) -> (Fre, Fim) (..., nr, L), one table read."""
+        x = jnp.stack([re, im], axis=-3).astype(self.table_dtype)
+        F = jnp.einsum("mlr,...cml->...crm", lam, x,
+                       preferred_element_type=self.dtype).astype(self.dtype)
+        return F[..., 0, :, :], F[..., 1, :, :]
+
+    def _ladj2(self, lam, Gre, Gim):
+        """(Gre, Gim) (..., nr, L) -> (are, aim) (..., L, L) grids."""
+        g = jnp.stack([Gre, Gim], axis=-3).astype(self.table_dtype)
+        a = jnp.einsum("mlr,...crm->...cml", lam, g,
+                       preferred_element_type=self.dtype).astype(self.dtype)
+        return a[..., 0, :, :], a[..., 1, :, :]
 
     # -- spin 0 ------------------------------------------------------------
 
     def _legendre_synth(self, flat, lam):
         """flat alm -> (Fre, Fim) ring Fourier coefficients (..., nr, L)."""
         re, im = flat_to_grid(flat.astype(self.dtype), self.lmax)
-        Fre = jnp.einsum("mlr,...ml->...rm", lam, re)
-        Fim = jnp.einsum("mlr,...ml->...rm", lam, im)
+        Fre, Fim = self._lsynth2(lam, re, im)
         if self._constrain_F is not None:
             Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
         return Fre, Fim
@@ -143,8 +175,7 @@ class SHT:
         Gim = Gim * ring_w[:, None]
         if self._constrain_F is not None:
             Gre, Gim = self._constrain_F(Gre), self._constrain_F(Gim)
-        are = jnp.einsum("mlr,...rm->...ml", self.lam0, Gre)
-        aim = jnp.einsum("mlr,...rm->...ml", self.lam0, Gim)
+        are, aim = self._ladj2(self.lam0, Gre, Gim)
         return grid_to_flat(are, aim, self.lmax)
 
     def analysis(self, maps: jnp.ndarray) -> jnp.ndarray:
@@ -176,10 +207,8 @@ class SHT:
         # a+ = -(E + iB), a- = -(E - iB)
         ap_re, ap_im = -(ere - bim), -(eim + bre)
         am_re, am_im = -(ere + bim), -(eim - bre)
-        Fp_re = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_re)
-        Fp_im = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_im)
-        Fm_re = jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_re)
-        Fm_im = jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_im)
+        Fp_re, Fp_im = self._lsynth2(self.lam_p2, ap_re, ap_im)
+        Fm_re, Fm_im = self._lsynth2(self.lam_m2, am_re, am_im)
         if self._constrain_F is not None:
             Fp_re, Fp_im = self._constrain_F(Fp_re), self._constrain_F(Fp_im)
             Fm_re, Fm_im = self._constrain_F(Fm_re), self._constrain_F(Fm_im)
@@ -188,23 +217,29 @@ class SHT:
         # P(phi) = sum_{m>=0} F+ e^{im phi} + sum_{m>0} conj(F-) e^{-im phi}
         # Q = Re P, U = Im P; the m > 0 negative-frequency terms add/subtract:
         pos = jnp.ones((self.lmax + 1,), self.dtype).at[0].set(0.0)
-        Are = Fp_re + Fm_re * pos
-        Aim = Fp_im + Fm_im * pos
-        Bre = Fp_re - Fm_re * pos
-        Bim = Fp_im - Fm_im * pos
-        q = Are @ self.dft_cos - Aim @ self.dft_sin
-        u = Bre @ self.dft_sin + Bim @ self.dft_cos
-        return q, u
+        td = self.table_dtype
+        Are = (Fp_re + Fm_re * pos).astype(td)
+        Aim = (Fp_im + Fm_im * pos).astype(td)
+        Bre = (Fp_re - Fm_re * pos).astype(td)
+        Bim = (Fp_im - Fm_im * pos).astype(td)
+        pet = self.dtype
+        q = (jnp.matmul(Are, self.dft_cos, preferred_element_type=pet)
+             - jnp.matmul(Aim, self.dft_sin, preferred_element_type=pet))
+        u = (jnp.matmul(Bre, self.dft_sin, preferred_element_type=pet)
+             + jnp.matmul(Bim, self.dft_cos, preferred_element_type=pet))
+        return q.astype(self.dtype), u.astype(self.dtype)
 
     def _analysis_spin2_core(self, q_maps, u_maps, ring_w):
         self._require_spin2()
         q = q_maps.astype(self.dtype)
         u = u_maps.astype(self.dtype)
         # C+_m = sum_j (Q + iU) e^{-im phi_j};  C-_m = sum_j (Q + iU) e^{+im phi_j}
-        qc = q @ self.dft_cos.T
-        qs = q @ self.dft_sin.T
-        uc = u @ self.dft_cos.T
-        us = u @ self.dft_sin.T
+        qt, ut = q.astype(self.table_dtype), u.astype(self.table_dtype)
+        pet = self.dtype
+        qc = jnp.matmul(qt, self.dft_cos.T, preferred_element_type=pet).astype(pet)
+        qs = jnp.matmul(qt, self.dft_sin.T, preferred_element_type=pet).astype(pet)
+        uc = jnp.matmul(ut, self.dft_cos.T, preferred_element_type=pet).astype(pet)
+        us = jnp.matmul(ut, self.dft_sin.T, preferred_element_type=pet).astype(pet)
         Cp_re, Cp_im = qc + us, uc - qs
         Cm_re, Cm_im = qc - us, uc + qs
         Cp_re, Cp_im = self._rot(Cp_re, Cp_im, -1)
@@ -217,10 +252,8 @@ class SHT:
             Cp_re, Cp_im = self._constrain_F(Cp_re), self._constrain_F(Cp_im)
             Cm_re, Cm_im = self._constrain_F(Cm_re), self._constrain_F(Cm_im)
         # a+_{lm} = sum_r w 2lam_lm C+ ; a-_{lm} = sum_r w -2lam_lm conj(C-)
-        ap_re = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp_re)
-        ap_im = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp_im)
-        am_re = jnp.einsum("mlr,...rm->...ml", self.lam_m2, Cm_re)
-        am_im = jnp.einsum("mlr,...rm->...ml", self.lam_m2, -Cm_im)
+        ap_re, ap_im = self._ladj2(self.lam_p2, Cp_re, Cp_im)
+        am_re, am_im = self._ladj2(self.lam_m2, Cm_re, -Cm_im)
         # E = -(a+ + a-)/2,  B = i (a+ - a-)/2
         e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
         b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
@@ -238,8 +271,13 @@ class SHT:
 
 
 def make_sht(lmax: int, grid: SphereGrid | None = None, dtype=jnp.float32,
-             spin2: bool = False, fft_mode: str = "matmul") -> SHT:
-    """Build an SHT for ``lmax`` (Gauss–Legendre grid by default)."""
+             spin2: bool = False, fft_mode: str = "matmul",
+             table_dtype=None) -> SHT:
+    """Build an SHT for ``lmax`` (Gauss–Legendre grid by default).
+
+    table_dtype=jnp.bfloat16 halves the HBM traffic of the operator tables
+    (the production fast path; tests validate fp32/fp64)."""
     if grid is None:
         grid = gauss_legendre_grid(lmax)
-    return SHT(grid, lmax, dtype=dtype, spin2=spin2, fft_mode=fft_mode)
+    return SHT(grid, lmax, dtype=dtype, spin2=spin2, fft_mode=fft_mode,
+               table_dtype=table_dtype)

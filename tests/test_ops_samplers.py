@@ -215,3 +215,33 @@ def test_mala_acceptance_and_invariance():
     np.testing.assert_allclose(np.asarray(m_new[0, 2:40]),
                                np.asarray(m_ref[0, 2:40]),
                                atol=6 * scale / np.sqrt(nch))
+
+
+def test_pcn_acceptance_and_invariance():
+    """pCN with small beta accepts often and preserves the CR conditional
+    (the reference only eyeballed pCN on a 1-d toy, testCN.py:22-41)."""
+    from gibbssampler_tpu.samplers import pcn_cr
+    # weak likelihood (SNR << 1): pCN's prior-reversible proposal is only
+    # viable in this regime — at high SNR its acceptance decays
+    # exponentially with dimension (why the portfolio also has MALA/aux)
+    model, _, fields = make_model(spin=0, sigma2=5e4)
+    mask = ring_mask(model, 0.2)
+    model_m, _, _ = make_model(spin=0, sigma2=5e4, mask=mask)
+    var = var_cls_of(model_m, fields)
+    bt = model_m.bt_ninv_d()
+    nch = 400
+    keys = jax.random.split(jax.random.PRNGKey(20), nch)
+    ref_draws = jax.vmap(lambda k: cg_cr(k, model_m, var, bt,
+                                         tol=1e-10)[0])(keys)
+    keys2 = jax.random.split(jax.random.PRNGKey(21), nch)
+    moved, infos = jax.vmap(lambda k, s: __import__(
+        "gibbssampler_tpu.samplers", fromlist=["pcn_cr"]).pcn_cr(
+        k, model_m, var, bt, s, beta=0.05))(keys2, ref_draws)
+    acc = float(jnp.mean(infos.accept))
+    assert acc > 0.2, acc
+    m_ref, m_new = jnp.mean(ref_draws, 0), jnp.mean(moved, 0)
+    v_ref = jnp.var(ref_draws, 0)
+    scale = float(jnp.max(jnp.sqrt(v_ref)))
+    np.testing.assert_allclose(np.asarray(m_new[0, 2:40]),
+                               np.asarray(m_ref[0, 2:40]),
+                               atol=6 * scale / np.sqrt(nch))
