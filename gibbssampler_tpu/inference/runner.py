@@ -217,14 +217,6 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
 
 
 def _run_segment(scheme, states, key, n_iter, nchains):
-    def one_iter(states, k):
-        keys = jax.random.split(k, nchains)
-        states, info = jax.vmap(scheme.step)(keys, states)
-        return states, info
-
-    @jax.jit
-    def scan_all(states, keys):
-        return jax.lax.scan(one_iter, states, keys)
-
+    from ..schemes.gibbs import _scan_scheme
     keys = jax.random.split(key, n_iter)
-    return scan_all(states, keys)
+    return _scan_scheme(scheme, states, keys, nchains)

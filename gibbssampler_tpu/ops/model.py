@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..harmonics.packing import index_maps, nflat
 from ..harmonics.spectra import almxfl
 from ..sht.transform import SHT
+from ..utils.pytree import register_arrays_pytree
 from .noise import NoiseModel
 
 __all__ = ["SkyModel"]
@@ -130,3 +131,7 @@ class SkyModel:
         bl2 = (self.bl.astype(self.sht.dtype) ** 2)[jnp.asarray(ell_of)]
         g = self.noise.tau_max / self.noise.omega
         return g[:, None] * bl2[None, :]
+
+
+register_arrays_pytree(SkyModel, array_fields=("sht", "noise", "bl", "d"),
+                       static_fields=("spin",))

@@ -27,6 +27,8 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils.pytree import register_arrays_pytree
+
 __all__ = ["NoiseModel"]
 
 
@@ -108,3 +110,7 @@ class NoiseModel:
     def field_bcast(self, v: jnp.ndarray) -> jnp.ndarray:
         """Broadcast a (nfields,) vector over the pixel axes."""
         return v.reshape(v.shape + (1,) * self.pix_ndim)
+
+
+register_arrays_pytree(NoiseModel, array_fields=("tau", "q_map"),
+                       static_fields=("omega",))

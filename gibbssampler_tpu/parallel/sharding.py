@@ -91,18 +91,10 @@ def sharded_run(scheme, key, dl_init_tuple, n_iter: int, nchains: int,
         states, jax.tree.map(
             lambda a: chain_sharding(mesh, np.ndim(a)), states))
 
-    def one_iter(states, key):
-        keys = jax.random.split(key, nchains)
-        states, info = jax.vmap(scheme.step)(keys, states)
-        return states, info
-
-    @jax.jit
-    def scan_all(states, keys):
-        return jax.lax.scan(one_iter, states, keys)
-
+    from ..schemes.gibbs import _scan_scheme
     keys = jax.random.split(krun, n_iter)
     with mesh:
-        states, infos = scan_all(states, keys)
+        states, infos = _scan_scheme(scheme, states, keys, nchains)
     out = {"dl_chains": tuple(
         jnp.moveaxis(infos["dl"][f], 0, 1)
         for f in range(len(scheme.bins_list)))}

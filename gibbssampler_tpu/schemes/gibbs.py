@@ -25,6 +25,16 @@ from ..harmonics.spectra import unfold_bins, variance_expansion
 from ..ops.model import SkyModel
 from ..samplers import cr as cr_mod
 from ..samplers import cls_samplers as cls_mod
+from ..utils.pytree import register_arrays_pytree
+
+
+def _freeze_bins(bins_list):
+    return tuple(tuple(int(b) for b in bins) for bins in bins_list)
+
+
+def _freeze_blocks(blocks_list):
+    return tuple(tuple((int(lo), int(hi)) for lo, hi in blocks)
+                 for blocks in blocks_list)
 
 __all__ = ["GibbsState", "GibbsScheme", "CenteredGibbs", "NonCenteredGibbs",
            "ASISGibbs", "PNCPGibbs", "CR_METHODS"]
@@ -86,10 +96,18 @@ class GibbsScheme:
     cr_options: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        # normalize static config to hashable forms (pytree aux data)
+        self.bins_list = _freeze_bins(self.bins_list)
+        if isinstance(self.cr_options, dict):
+            self.cr_options = tuple(sorted(self.cr_options.items()))
         self.lmax = self.model.lmax
         self.bt_ninv_d = self.model.bt_ninv_d()
+        self._rebind()
+
+    def _rebind(self):
+        """Rebuild derived closures (called after pytree unflatten)."""
         self._cr_step = _make_cr_step(self.cr_method, self.model,
-                                      self.bt_ninv_d, self.cr_options)
+                                      self.bt_ninv_d, dict(self.cr_options))
 
     # -- helpers ---------------------------------------------------------
 
@@ -126,18 +144,10 @@ class GibbsScheme:
         init_keys = jax.random.split(kinit, nchains)
         states = jax.vmap(lambda k: self.init_state(k, dl_init_tuple))(
             init_keys)
-
-        def one_iter(states, key):
-            keys = jax.random.split(key, nchains)
-            states, info = jax.vmap(self.step)(keys, states)
-            return states, info
-
-        @jax.jit
-        def scan_all(states, keys):
-            return jax.lax.scan(one_iter, states, keys)
-
         keys = jax.random.split(krun, n_iter)
-        states, infos = scan_all(states, keys)
+        # the scheme itself is a pytree argument: operator tables enter the
+        # compiled program as runtime parameters, not baked constants
+        states, infos = _scan_scheme(self, states, keys, nchains)
         out = {"dl_chains": tuple(
             jnp.moveaxis(infos["dl"][f], 0, 1) for f in range(len(self.bins_list)))}
         for k, v in infos.items():
@@ -146,6 +156,15 @@ class GibbsScheme:
             out[k] = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), v)
         out["final_state"] = states
         return out
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _scan_scheme(scheme, states, keys, nchains):
+    def one_iter(states, key):
+        ks = jax.random.split(key, nchains)
+        return jax.vmap(scheme.step)(ks, states)
+
+    return jax.lax.scan(one_iter, states, keys)
 
 
 # ---------------------------------------------------------------------------
@@ -170,11 +189,21 @@ class NonCenteredGibbs(GibbsScheme):
                  n_iter_mh: int = 1, all_sph: bool = False,
                  d_alm: Optional[jnp.ndarray] = None, **kw):
         super().__init__(model, bins_list, **kw)
-        self.blocks_list = blocks_list
-        self.prop_sigma_list = prop_sigma_list
+        self.blocks_list = _freeze_blocks(blocks_list)
+        self.prop_sigma_list = tuple(jnp.asarray(p) for p in prop_sigma_list)
         self.n_iter_mh = n_iter_mh
+        self.all_sph = all_sph
+        self.d_alm = d_alm
+        self._rebind()
+
+    def _rebind(self):
+        super()._rebind()
+        if not hasattr(self, "all_sph"):
+            return  # first call from dataclass __post_init__, before
+                    # subclass fields exist; __init__ rebinds again
         self.log_like = cls_mod.make_nc_log_likelihood(
-            model, bins_list, all_sph=all_sph, d_alm=d_alm)
+            self.model, self.bins_list, all_sph=self.all_sph,
+            d_alm=self.d_alm)
 
     def init_state(self, key, dl_init_tuple):
         st = super().init_state(key, dl_init_tuple)
@@ -205,11 +234,21 @@ class ASISGibbs(GibbsScheme):
                  n_iter_mh: int = 1, all_sph: bool = False,
                  d_alm: Optional[jnp.ndarray] = None, **kw):
         super().__init__(model, bins_list, **kw)
-        self.blocks_list = blocks_list
-        self.prop_sigma_list = prop_sigma_list
+        self.blocks_list = _freeze_blocks(blocks_list)
+        self.prop_sigma_list = tuple(jnp.asarray(p) for p in prop_sigma_list)
         self.n_iter_mh = n_iter_mh
+        self.all_sph = all_sph
+        self.d_alm = d_alm
+        self._rebind()
+
+    def _rebind(self):
+        super()._rebind()
+        if not hasattr(self, "all_sph"):
+            return  # first call from dataclass __post_init__, before
+                    # subclass fields exist; __init__ rebinds again
         self.log_like = cls_mod.make_nc_log_likelihood(
-            model, bins_list, all_sph=all_sph, d_alm=d_alm)
+            self.model, self.bins_list, all_sph=self.all_sph,
+            d_alm=self.d_alm)
 
     def step(self, key, state: GibbsState):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -236,28 +275,24 @@ class PNCPGibbs(GibbsScheme):
                  l_cut: int, n_iter_mh: int = 1, all_sph: bool = False,
                  d_alm: Optional[jnp.ndarray] = None, **kw):
         super().__init__(model, bins_list, **kw)
+        bins_list = self.bins_list
         self.l_cut = l_cut
         # split bins into low (centered) and high (MH) parts; l_cut must be
         # a bin boundary (the reference raises when l_cut is inside a block)
-        self.cut_bin = []
+        cut_bin = []
         for bins in bins_list:
             if l_cut not in list(bins):
                 raise ValueError(
                     f"l_cut={l_cut} must be a bin boundary (got bins={bins})")
-            self.cut_bin.append(int(np.searchsorted(bins, l_cut)))
+            cut_bin.append(int(np.searchsorted(bins, l_cut)))
+        self.cut_bin = tuple(cut_bin)
         # keep only high-l blocks, re-indexed over the full bin vector
-        self.blocks_list = [
+        self.blocks_list = _freeze_blocks([
             [(lo, hi) for (lo, hi) in blocks
-             if lo >= cb] for blocks, cb in zip(blocks_list, self.cut_bin)]
-        self.prop_sigma_list = prop_sigma_list
+             if lo >= cb] for blocks, cb in zip(blocks_list, self.cut_bin)])
+        self.prop_sigma_list = tuple(jnp.asarray(p) for p in prop_sigma_list)
         self.n_iter_mh = n_iter_mh
         self.all_sph = all_sph
-        self._d_alm = d_alm
-
-        # partially non-centered likelihood: whiten only l >= l_cut
-        base_like = cls_mod.make_nc_log_likelihood(
-            model, bins_list, all_sph=all_sph, d_alm=d_alm)
-        self.log_like = base_like
 
     def _var_high(self, dl_tuple, dtype):
         """Prior variance with 1 on l < l_cut slots (identity re-centering)."""
@@ -295,3 +330,20 @@ class PNCPGibbs(GibbsScheme):
         info = {"dl": dl, "cr_accept": cr_info.accept,
                 "mh_accept": mh_info.accept}
         return GibbsState(s=s, dl=dl), info
+
+
+for _cls, _extra_arrays, _extra_static in (
+    (CenteredGibbs, (), ()),
+    (NonCenteredGibbs, ("prop_sigma_list", "d_alm"),
+     ("blocks_list", "n_iter_mh", "all_sph")),
+    (ASISGibbs, ("prop_sigma_list", "d_alm"),
+     ("blocks_list", "n_iter_mh", "all_sph")),
+    (PNCPGibbs, ("prop_sigma_list",),
+     ("blocks_list", "n_iter_mh", "all_sph", "l_cut", "cut_bin")),
+):
+    register_arrays_pytree(
+        _cls,
+        array_fields=("model", "bt_ninv_d") + _extra_arrays,
+        static_fields=("bins_list", "cr_method", "cr_options",
+                       "lmax") + _extra_static,
+    )

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..harmonics.packing import flat_to_grid, grid_to_flat
+from ..utils.pytree import register_arrays_pytree
 from .legendre import legendre_table, spin2_lambda_tables
 
 __all__ = ["HealpixGeometry", "healpix_geometry", "HealpixSHT",
@@ -152,6 +153,7 @@ class HealpixSHT:
             self.cap_sin = jnp.asarray(Ms, dtype=self.dtype)
             self.cap_wpad = wpad
         else:
+            self.cap_cos = self.cap_sin = None
             self.cap_wpad = 0
 
         # RING-order gather maps between the padded section layout and the
@@ -322,6 +324,17 @@ class HealpixSHT:
     def analysis_spin2(self, q_maps, u_maps):
         e, b = self.adjoint_synthesis_spin2(q_maps, u_maps)
         return e * self.pixel_area, b * self.pixel_area
+
+
+register_arrays_pytree(
+    HealpixSHT,
+    array_fields=("lam0", "lam_p2", "lam_m2", "belt_cos", "belt_sin",
+                  "belt_rot_cos", "belt_rot_sin", "cap_cos", "cap_sin",
+                  "_pix_of", "_src_of", "_src_valid", "wq"),
+    static_fields=("geo", "grid", "nside", "lmax", "dtype", "_constrain_F",
+                   "ncap", "nbelt", "belt_sl", "capS_sl", "cap_wpad",
+                   "_npadded", "pixel_area", "nrings"),
+)
 
 
 def make_healpix_sht(nside: int, lmax: int | None = None,

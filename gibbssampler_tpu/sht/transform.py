@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..harmonics.packing import flat_to_grid, grid_to_flat
+from ..utils.pytree import register_arrays_pytree
 from .grids import SphereGrid, gauss_legendre_grid
 from .legendre import legendre_table, spin2_lambda_tables
 
@@ -268,6 +269,15 @@ class SHT:
         """Exact transpose of synthesis_spin2 w.r.t. plain dot products."""
         return self._analysis_spin2_core(q_maps, u_maps,
                                          jnp.ones_like(self.wq))
+
+
+register_arrays_pytree(
+    SHT,
+    array_fields=("lam0", "wq", "phase_cos", "phase_sin", "dft_cos",
+                  "dft_sin", "lam_p2", "lam_m2"),
+    static_fields=("grid", "lmax", "dtype", "table_dtype", "fft_mode",
+                   "has_phase", "nphi", "nrings", "_constrain_F"),
+)
 
 
 def make_sht(lmax: int, grid: SphereGrid | None = None, dtype=jnp.float32,
