@@ -24,6 +24,13 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: the axon compile tunnel costs seconds per
+# executable, and the bench graph is identical across runs
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/gibbssampler_tpu/jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 LMAX = int(os.environ.get("BENCH_LMAX", "512"))
 NCHAINS = int(os.environ.get("BENCH_NCHAINS", "8"))
 N_ITER = int(os.environ.get("BENCH_ITERS", "200"))

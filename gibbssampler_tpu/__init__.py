@@ -25,3 +25,11 @@ inference   config dataclasses, dataset simulation, run scripts, checkpointing
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.expanduser("~/.cache/gibbssampler_tpu/jaxcache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+del _os

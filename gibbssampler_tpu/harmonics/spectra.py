@@ -149,15 +149,14 @@ def alm2cl(flat: jnp.ndarray, lmax: int,
     exactly 1/(2l+1) * sum of squares of the real slots of degree l.
     Cross-spectrum when ``flat2`` is given.  Output (..., lmax+1).
     """
-    maps = index_maps(lmax)
-    ell_of = jnp.asarray(maps.ell_of)
-    onehot = jnp.asarray(
-        (np.asarray(maps.ell_of)[:, None] == np.arange(lmax + 1)[None, :])
-        .astype(np.float64),
-        dtype=flat.dtype,
-    )
+    import jax
+    ell_of = jnp.asarray(index_maps(lmax).ell_of)
     other = flat if flat2 is None else flat2
-    sums = (flat * other) @ onehot
+    prod = flat * other
+    seg = lambda v: jax.ops.segment_sum(v, ell_of, num_segments=lmax + 1)
+    for _ in range(prod.ndim - 1):
+        seg = jax.vmap(seg)
+    sums = seg(prod)
     counts = jnp.asarray(2.0 * np.arange(lmax + 1) + 1.0, dtype=flat.dtype)
     return sums / counts
 

@@ -2,7 +2,8 @@
 
 from .simulate import example_dl, synfast, simulate_dataset
 from .runner import RunConfig, run_experiment, save_checkpoint, load_checkpoint
+from .spectra_io import load_cls, KCMB_UK
 
 __all__ = ["example_dl", "synfast", "simulate_dataset",
            "RunConfig", "run_experiment", "save_checkpoint",
-           "load_checkpoint"]
+           "load_checkpoint", "load_cls", "KCMB_UK"]

@@ -61,6 +61,32 @@ def synfast(key, dl_fields, sht: SHT, spin: int):
     return alm, maps
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _simulate_core(lmax, sht, noise, bl, key, spin, dl_fields, mask_arr):
+    """One compiled unit for the whole simulation pipeline (eager op-by-op
+    dispatch costs seconds per primitive through remote-compile backends)."""
+    from ..harmonics.spectra import almxfl
+    ksky, knoise = jax.random.split(key)
+    var = jax.vmap(lambda dd: variance_expansion(dd, lmax))(dl_fields)
+    alm_true = jnp.sqrt(var) * jax.random.normal(
+        ksky, var.shape, dtype=bl.dtype)
+    alm_beamed = almxfl(alm_true, bl, lmax)
+    if spin == 0:
+        sky = sht.synthesis(alm_beamed[0])[None]
+    else:
+        q, u = sht.synthesis_spin2(alm_beamed[0], alm_beamed[1])
+        sky = jnp.stack([q, u], axis=0)
+    inv = noise.inv_noise
+    std = jnp.where(inv > 0, 1.0 / jnp.sqrt(jnp.where(inv > 0, inv, 1.0)), 0.0)
+    d = sky + std * jax.random.normal(knoise, sky.shape, dtype=bl.dtype)
+    if mask_arr is not None:
+        d = d * mask_arr
+    return alm_true, sky, d
+
+
 def simulate_dataset(key, lmax: int, spin: int, dl_fields,
                      noise_sigma2, fwhm_radians: float = 0.0,
                      mask=None, dtype=jnp.float32, grid=None):
@@ -72,29 +98,13 @@ def simulate_dataset(key, lmax: int, spin: int, dl_fields,
     sht = make_sht(lmax, grid=grid, dtype=dtype, spin2=(spin == 2))
     bl = gauss_beam(fwhm_radians, lmax, dtype=dtype) if fwhm_radians > 0 \
         else jnp.ones(lmax + 1, dtype=dtype)
-    ksky, knoise = jax.random.split(key)
-    alm_true, _ = synfast(ksky, dl_fields, sht, spin)
-    # beam applied in harmonic space, then synthesis
-    from ..harmonics.spectra import almxfl
-    alm_beamed = almxfl(alm_true, bl, lmax)
-    if spin == 0:
-        sky = sht.synthesis(alm_beamed[0])[None]
-    else:
-        q, u = sht.synthesis_spin2(alm_beamed[0], alm_beamed[1])
-        sky = jnp.stack([q, u], axis=0)
-    nf = sky.shape[0]
+    nf = 2 if spin == 2 else 1
     noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=nf, mask=mask,
                              dtype=dtype)
-    # pixel noise consistent with the quadrature-scaled model:
-    # Var(n_pix) = 1 / N^-1 = sigma^2 / q_r on unmasked pixels
-    std = jnp.where(noise.inv_noise > 0,
-                    1.0 / jnp.sqrt(jnp.where(noise.inv_noise > 0,
-                                             noise.inv_noise, 1.0)), 0.0)
-    n = std * jax.random.normal(knoise, sky.shape, dtype=dtype)
-    d = (sky + n)
-    if mask is not None:
-        d = d * jnp.asarray(mask, dtype=dtype)
+    dl_fields = jnp.asarray(np.asarray(dl_fields), dtype=dtype)
+    mask_arr = None if mask is None else jnp.asarray(mask, dtype=dtype)
+    alm_true, sky, d = _simulate_core(lmax, sht, noise, bl, key, spin,
+                                      dl_fields, mask_arr)
     model = SkyModel(sht=sht, noise=noise, bl=bl, spin=spin, d=d)
-    truth = {"alm_true": alm_true, "dl_true": jnp.asarray(dl_fields),
-             "sky": sky}
+    truth = {"alm_true": alm_true, "dl_true": dl_fields, "sky": sky}
     return model, truth

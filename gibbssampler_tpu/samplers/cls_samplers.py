@@ -203,15 +203,13 @@ def invwishart_cls_sample(key, s: jnp.ndarray, lmax: int, lmin: int = 2):
     correlated-field generalization the reference prepared but never wired
     (invwishart import CenteredGibbs.py:7, 3x3 kernel
     variance_expension.pyx:36-61)."""
+    import jax as _jax
     k = s.shape[0]
     dt = s.dtype
-    maps = index_maps(lmax)
-    ell_of = np.asarray(maps.ell_of)
-    onehot = jnp.asarray(
-        (ell_of[:, None] == np.arange(lmax + 1)[None, :]).astype(np.float64),
-        dtype=dt)
+    ell_of = jnp.asarray(index_maps(lmax).ell_of)
     # S[l, i, j] = sum_{slots of degree l} s_i s_j
-    S = jnp.einsum("in,jn,nl->lij", s, s, onehot)
+    outer = jnp.einsum("in,jn->nij", s, s)
+    S = _jax.ops.segment_sum(outer, ell_of, num_segments=lmax + 1)
     nu = 2.0 * jnp.arange(lmax + 1, dtype=dt) + 1.0
 
     kchi, knorm = jax.random.split(key)

@@ -101,7 +101,9 @@ class GibbsScheme:
         if isinstance(self.cr_options, dict):
             self.cr_options = tuple(sorted(self.cr_options.items()))
         self.lmax = self.model.lmax
-        self.bt_ninv_d = self.model.bt_ninv_d()
+        # one compiled unit (eager op-by-op dispatch is slow on remote-compile
+        # backends); model rides through jit as a pytree
+        self.bt_ninv_d = jax.jit(lambda m: m.bt_ninv_d())(self.model)
         self._rebind()
 
     def _rebind(self):

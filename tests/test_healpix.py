@@ -173,3 +173,31 @@ def test_healpix_aux_gibbs_runs():
     s1, info = aux_gibbs_cr(jax.random.PRNGKey(9), model, var, bt, s0,
                             n_gibbs=2)
     assert np.isfinite(np.asarray(s1)).all()
+
+
+def test_ang2pix_pix2ang_roundtrip():
+    """ang2pix(center of p) == p for every pixel — pins the RING formulas."""
+    from gibbssampler_tpu.sht.healpix_pix import ang2pix_ring, pix2ang_ring
+    for nside in (1, 2, 4, 8, 16):
+        npix = 12 * nside * nside
+        th, ph = pix2ang_ring(nside, np.arange(npix))
+        back = ang2pix_ring(nside, th, ph)
+        assert (back == np.arange(npix)).all(), nside
+
+
+def test_ud_grade_mask():
+    from gibbssampler_tpu.sht.healpix_pix import ud_grade, galactic_band_mask
+    m = galactic_band_mask(16, 15.0)
+    f = float(m.mean())
+    assert 0.6 < f < 0.85      # ~f_sky of a 15-deg cut
+    down = ud_grade(m, 8)
+    assert down.shape == (768,)
+    assert abs(down.mean() - f) < 0.02
+    up = ud_grade(down, 16)
+    assert up.shape == (3072,)
+    # degrading the upgrade recovers the coarse map exactly
+    np.testing.assert_allclose(ud_grade(up, 8), down, atol=1e-12)
+    # apodized mask stays within [0, 1]
+    ma = galactic_band_mask(16, 10.0, apodize_deg=5.0)
+    assert (ma >= 0).all() and (ma <= 1).all()
+    assert ((ma > 0) & (ma < 1)).any()

@@ -58,3 +58,20 @@ def test_run_experiment_asis_allsph(tmp_path):
     z = np.load(out)
     assert np.isfinite(z["dl_chain_0"]).all()
     assert z["ess_0"].shape == (11,)
+
+
+def test_load_cls(tmp_path):
+    from gibbssampler_tpu.inference import load_cls
+    # npy layout
+    arr = np.stack([np.arange(20.0), np.ones(20), np.zeros(20), np.ones(20)])
+    p = str(tmp_path / "cls.npy"); np.save(p, arr)
+    out = load_cls(p, lmax=15)
+    assert out["tt"].shape == (16,)
+    assert out["tt"][0] == 0 and out["tt"][1] == 0
+    assert out["tt"][5] == 5.0
+    # CAMB-style text with C_ell input
+    txt = str(tmp_path / "cls.txt")
+    ell = np.arange(2, 16)
+    np.savetxt(txt, np.column_stack([ell, np.ones_like(ell, dtype=float)]))
+    out2 = load_cls(txt, lmax=15, columns=("tt",), input_is_dl=False)
+    assert np.isclose(out2["tt"][10], 10 * 11 / (2 * np.pi))
