@@ -32,7 +32,10 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 LMAX = int(os.environ.get("BENCH_LMAX", "512"))
-NCHAINS = int(os.environ.get("BENCH_NCHAINS", "8"))
+NCHAINS = int(os.environ.get("BENCH_NCHAINS", "16"))
+# bfloat16 tables are faster but cost an extra compile pass; the compile
+# tunnel has no persistent cache, so default to the proven fp32 path
+TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
 N_ITER = int(os.environ.get("BENCH_ITERS", "200"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "20"))
 REF_SEC_PER_ITER = 3.0
@@ -61,11 +64,15 @@ def build():
     dl_bb = example_dl(LMAX, "bb", amp=1000.0)
     log(f"building dataset lmax={LMAX} grid={grid.nrings}x{grid.nphi} "
         f"npix={grid.npix}")
+    from gibbssampler_tpu.sht import make_sht
+    sht = make_sht(LMAX, dtype=jnp.float32, spin2=True,
+                   table_dtype=jnp.dtype(TABLE_DTYPE))
     model, _ = simulate_dataset(
         jax.random.PRNGKey(0), LMAX, spin=2,
         dl_fields=np.stack([dl_ee, dl_bb]),
         noise_sigma2=0.2 ** 2,                        # reference pol noise
-        fwhm_radians=np.radians(0.5), mask=mask, dtype=jnp.float32)
+        fwhm_radians=np.radians(0.5), mask=mask, dtype=jnp.float32,
+        grid=grid, sht=sht)
 
     # Planck-style binning: unit bins to l=50, then widening (config.py:45-46)
     edges = list(range(2, 51))

@@ -89,13 +89,14 @@ def _simulate_core(lmax, sht, noise, bl, key, spin, dl_fields, mask_arr):
 
 def simulate_dataset(key, lmax: int, spin: int, dl_fields,
                      noise_sigma2, fwhm_radians: float = 0.0,
-                     mask=None, dtype=jnp.float32, grid=None):
+                     mask=None, dtype=jnp.float32, grid=None, sht=None):
     """Simulate d = A B s + n and return a ready-to-sample SkyModel.
 
     Mirrors the reference pipeline (generate_dataset,
     main_polarization.py:25-59): theory D_l -> beam-smoothed Gaussian sky ->
     white noise -> optional mask; returns (model, truth dict)."""
-    sht = make_sht(lmax, grid=grid, dtype=dtype, spin2=(spin == 2))
+    if sht is None:
+        sht = make_sht(lmax, grid=grid, dtype=dtype, spin2=(spin >= 2))
     bl = gauss_beam(fwhm_radians, lmax, dtype=dtype) if fwhm_radians > 0 \
         else jnp.ones(lmax + 1, dtype=dtype)
     nf = 2 if spin == 2 else 1

@@ -35,6 +35,9 @@ class SkyModel:
     """Operators for one observed dataset (beam, noise, mask, SHT).
 
     spin = 0: nfields = 1 (T).  spin = 2: nfields = 2 (E, B alm; Q, U maps).
+    spin = 3: joint TQU — nfields = 3, fields (T, E, B) <-> maps (T, Q, U),
+    T through the spin-0 transform and (E, B) through spin-2 (the joint
+    correlated-field mode the reference scaffolded; SURVEY.md 2.6.8).
     """
 
     sht: SHT
@@ -49,7 +52,7 @@ class SkyModel:
 
     @property
     def nfields(self) -> int:
-        return 2 if self.spin == 2 else 1
+        return {0: 1, 2: 2, 3: 3}[self.spin]
 
     @property
     def nflat(self) -> int:
@@ -82,6 +85,10 @@ class SkyModel:
         """A s: (..., nfields, nflat) -> (..., nfields, *pix)."""
         if self.spin == 0:
             return self._stack_fields([self.sht.synthesis(s[..., 0, :])])
+        if self.spin == 3:
+            t = self.sht.synthesis(s[..., 0, :])
+            q, u = self.sht.synthesis_spin2(s[..., 1, :], s[..., 2, :])
+            return self._stack_fields([t, q, u])
         q, u = self.sht.synthesis_spin2(s[..., 0, :], s[..., 1, :])
         return self._stack_fields([q, u])
 
@@ -89,6 +96,11 @@ class SkyModel:
         """A^T f: (..., nfields, *pix) -> (..., nfields, nflat)."""
         if self.spin == 0:
             return self.sht.adjoint_synthesis(self._field(f, 0))[..., None, :]
+        if self.spin == 3:
+            t = self.sht.adjoint_synthesis(self._field(f, 0))
+            e, b = self.sht.adjoint_synthesis_spin2(self._field(f, 1),
+                                                    self._field(f, 2))
+            return jnp.stack([t, e, b], axis=-2)
         e, b = self.sht.adjoint_synthesis_spin2(self._field(f, 0),
                                                 self._field(f, 1))
         return jnp.stack([e, b], axis=-2)

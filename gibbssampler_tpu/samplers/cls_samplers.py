@@ -222,14 +222,15 @@ def invwishart_cls_sample(key, s: jnp.ndarray, lmax: int, lmin: int = 2):
     normals = jax.random.normal(knorm, (lmax + 1, k, k), dtype=dt)
     tril = jnp.tril(normals, k=-1)
     Lmat = tril + jax.vmap(jnp.diag)(jnp.sqrt(chi2))
-    # Psi^-1 = S^-1; chol(S^-1) = (chol(S)^-T)
+    # Bartlett: W = A (L L^T) A^T ~ Wishart(nu, A A^T) for any A with
+    # A A^T = Psi^-1 = S^-1; take A = cS^-T (cS = chol(S), lower), so
+    # C = W^-1 = A^-T (L L^T)^-1 A^-1 = cS (L L^T)^-1 cS^T.
     eye = jnp.eye(k, dtype=dt)
     Sreg = S + 1e-30 * eye
     cS = jnp.linalg.cholesky(Sreg)
-    # A = inv(cS)^T  (upper); W = A L L^T A^T ; C = W^-1 = cS^T (L L^T)^-1 cS
     LLT = Lmat @ jnp.swapaxes(Lmat, -1, -2)
     inv_LLT = jnp.linalg.inv(LLT + 1e-30 * eye)
-    C = jnp.swapaxes(cS, -1, -2) @ inv_LLT @ cS
+    C = cS @ inv_LLT @ jnp.swapaxes(cS, -1, -2)
     lmask = (jnp.arange(lmax + 1) >= lmin).astype(dt)
     return C * lmask[:, None, None]
 

@@ -1,0 +1,135 @@
+"""Joint correlated-field (TT/TE/EE/BB) sampling tests (the 3x3 component
+the reference scaffolded, SURVEY.md 2.6.8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gibbssampler_tpu.harmonics import nflat, alm2cl, index_maps
+from gibbssampler_tpu.ops import NoiseModel, SkyModel
+from gibbssampler_tpu.samplers import (
+    exact_joint_cr, synfast_joint, invwishart_cls_sample,
+)
+from gibbssampler_tpu.schemes import JointCenteredGibbs
+from gibbssampler_tpu.sht import make_sht
+
+LMAX = 10
+K = 3
+
+
+def theory_blocks(lmax, r_te=0.6):
+    """SPD C_ell blocks with TE correlation r_te."""
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    tt = 10.0 / (1.0 + ell) ** 1.5
+    ee = 0.5 / (1.0 + ell) ** 1.5
+    bb = 0.05 / (1.0 + ell) ** 1.5
+    te = r_te * np.sqrt(tt * ee)
+    C = np.zeros((lmax + 1, K, K))
+    C[:, 0, 0], C[:, 1, 1], C[:, 2, 2] = tt, ee, bb
+    C[:, 0, 1] = C[:, 1, 0] = te
+    C[:2] = 0.0
+    return C
+
+
+def make_joint_model(noise_sigma2=1e-3, seed=0):
+    sht = make_sht(LMAX, dtype=jnp.float64, spin2=True)
+    C = theory_blocks(LMAX)
+    s_true = synfast_joint(jax.random.PRNGKey(seed), C, LMAX,
+                           dtype=jnp.float64)
+    noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=K,
+                             dtype=jnp.float64)
+    model = SkyModel(sht=sht, noise=noise, bl=jnp.ones(LMAX + 1),
+                     spin=3, d=None)
+    sky = model.synthesis(s_true)
+    inv = noise.inv_noise
+    std = jnp.where(inv > 0, 1.0 / jnp.sqrt(inv), 0.0)
+    d = sky + std * jax.random.normal(jax.random.PRNGKey(seed + 1), sky.shape,
+                                      dtype=jnp.float64)
+    model = SkyModel(sht=sht, noise=noise, bl=model.bl, spin=3, d=d)
+    return model, C, s_true
+
+
+def test_synfast_joint_covariance():
+    """Empirical per-ell blocks of many sims match the theory blocks."""
+    C = theory_blocks(LMAX)
+    keys = jax.random.split(jax.random.PRNGKey(2), 600)
+    draws = jax.vmap(lambda k: synfast_joint(k, C, LMAX,
+                                             dtype=jnp.float64))(keys)
+    # cross spectra via alm2cl on the stacked fields
+    tt = np.asarray(jax.vmap(lambda s: alm2cl(s[0], LMAX))(draws)).mean(0)
+    te = np.asarray(jax.vmap(lambda s: alm2cl(s[0], LMAX,
+                                              s[1]))(draws)).mean(0)
+    np.testing.assert_allclose(tt[2:], C[2:, 0, 0], rtol=0.15)
+    np.testing.assert_allclose(te[2:], C[2:, 0, 1], rtol=0.25)
+
+
+def test_exact_joint_cr_moments():
+    """Joint CR draws match the analytic per-slot posterior moments."""
+    model, C, _ = make_joint_model(noise_sigma2=0.5)
+    bt = model.bt_ninv_d()
+    keys = jax.random.split(jax.random.PRNGKey(3), 1500)
+    draws = jax.vmap(lambda k: exact_joint_cr(k, model, jnp.asarray(C),
+                                              bt)[0])(keys)
+    # analytic: P = C^-1 + diag(g); mean = P^-1 b per slot
+    from gibbssampler_tpu.samplers.joint import expand_cl_blocks
+    cov = np.asarray(expand_cl_blocks(jnp.asarray(C), LMAX))
+    g = np.asarray(model.harmonic_noise_diag())
+    ell_of = np.asarray(index_maps(LMAX).ell_of)
+    bt_np = np.asarray(bt)
+    for slot in [4, 30, 77]:
+        if ell_of[slot] < 2:
+            continue
+        P = np.linalg.inv(cov[slot]) + np.diag(g[:, slot])
+        Sig = np.linalg.inv(P)
+        mean = Sig @ bt_np[:, slot]
+        emp_mean = np.asarray(draws[:, :, slot]).mean(axis=0)
+        emp_cov = np.cov(np.asarray(draws[:, :, slot]).T)
+        se = np.sqrt(np.diag(Sig) / 1500)
+        np.testing.assert_allclose(emp_mean, mean, atol=6 * se.max())
+        np.testing.assert_allclose(np.diag(emp_cov), np.diag(Sig), rtol=0.3)
+
+
+def test_invwishart_conjugacy():
+    """E[C | s] = S_ell / (nu - k - 1) for the InvWishart(nu = 2l+1, S)."""
+    C = theory_blocks(LMAX)
+    s = synfast_joint(jax.random.PRNGKey(4), C, LMAX, dtype=jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3000)
+    draws = jax.vmap(lambda k: invwishart_cls_sample(k, s, LMAX))(keys)
+    mean_draws = np.asarray(draws).mean(axis=0)
+    # scatter matrix per ell
+    from gibbssampler_tpu.samplers.cls_samplers import invwishart_cls_sample as _
+    l = 8
+    slots = np.where(np.asarray(index_maps(LMAX).ell_of) == l)[0]
+    S = np.zeros((K, K))
+    s_np = np.asarray(s)
+    for i in slots:
+        S += np.outer(s_np[:, i], s_np[:, i])
+    nu = 2 * l + 1
+    expect = S / (nu - K - 1)
+    np.testing.assert_allclose(mean_draws[l], expect, rtol=0.2)
+
+
+def test_joint_gibbs_recovers_te_correlation():
+    """End-to-end: the joint sampler's posterior TE correlation tracks the
+    empirical TE of the (high-SNR) data."""
+    model, C, s_true = make_joint_model(noise_sigma2=1e-4)
+    scheme = JointCenteredGibbs(model)
+    out = scheme.run(jax.random.PRNGKey(6), jnp.asarray(C), n_iter=400,
+                     nchains=4)
+    dl_chain = np.asarray(out["dl_chains"][0])   # (4, 400, lmax+1, 3, 3)
+    post = dl_chain[:, 100:].mean(axis=(0, 1))
+    # empirical spectra of the true sky
+    tt_hat = np.asarray(alm2cl(s_true[0], LMAX))
+    te_hat = np.asarray(alm2cl(s_true[0], LMAX, s_true[1]))
+    fac = np.arange(LMAX + 1) * (np.arange(LMAX + 1) + 1.0) / (2 * np.pi)
+    for l in range(4, LMAX + 1):
+        # posterior mean of InvWishart(nu = 2l+1, S = (2l+1) hat-C):
+        # E[C | s] = S / (nu - k - 1) = hat-C (2l+1)/(2l - 3)
+        iw_fac = (2 * l + 1.0) / (2 * l - 3.0)
+        assert np.isclose(post[l, 0, 0], tt_hat[l] * fac[l] * iw_fac,
+                          rtol=0.4), l
+        r_post = post[l, 0, 1] / np.sqrt(post[l, 0, 0] * post[l, 1, 1])
+        r_hat = te_hat[l] / np.sqrt(
+            tt_hat[l] * np.asarray(alm2cl(s_true[1], LMAX))[l])
+        assert abs(r_post - r_hat) < 0.45, (l, r_post, r_hat)
