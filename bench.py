@@ -37,7 +37,7 @@ NCHAINS = int(os.environ.get("BENCH_NCHAINS", "16"))
 # tunnel has no persistent cache, so default to the proven fp32 path
 TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
 N_ITER = int(os.environ.get("BENCH_ITERS", "200"))
-N_WARM = int(os.environ.get("BENCH_WARMUP", "20"))
+N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 REF_SEC_PER_ITER = 3.0
 
 
@@ -97,9 +97,10 @@ def main():
     dl0 = tuple(np.asarray(bin_sum(jnp.asarray(d), bins, LMAX)) / counts
                 for d in (dl_ee, dl_bb))
 
-    log(f"warmup {N_WARM} iters (compile)...")
+    n_warm = N_WARM or N_ITER   # same scan length => timed run is fully cached
+    log(f"warmup {n_warm} iters (compile)...")
     t0 = time.time()
-    out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=N_WARM,
+    out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=n_warm,
                      nchains=NCHAINS)
     jax.block_until_ready(out["dl_chains"])
     log(f"warmup done in {time.time() - t0:.1f}s")

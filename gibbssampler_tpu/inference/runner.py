@@ -41,8 +41,11 @@ class RunConfig:
     """Everything the reference scattered over config.py, as one value."""
 
     lmax: int = 64
-    spin: int = 0                        # 0: TT, 2: EE/BB
+    spin: int = 0                        # 0: TT, 2: EE/BB, 3: joint TQU
+    grid: str = "gl"                     # gl | healpix (reference data grid)
+    nside: int = 0                       # healpix nside (default lmax // 2)
     scheme: str = "centered"             # centered | noncentered | asis | pncp
+                                         # | joint (spin=3, exact full sky)
     cr_method: str = "exact"             # see schemes.CR_METHODS
     cr_options: dict = field(default_factory=dict)
     noise_sigma2: float = 1.0            # reference: 40^2 TT / 0.2^2 pol
@@ -74,17 +77,55 @@ def _build(cfg: RunConfig):
     else:
         fields = np.stack([example_dl(cfg.lmax, "ee", amp=1000.0),
                            example_dl(cfg.lmax, "bb", amp=1000.0)])
-    mask = None
-    if cfg.mask_band_deg > 0:
-        from ..sht import gauss_legendre_grid
-        grid = gauss_legendre_grid(cfg.lmax)
-        lat = np.abs(np.pi / 2 - grid.theta)
-        keep = (lat > np.radians(cfg.mask_band_deg)).astype(np.float64)
-        mask = np.broadcast_to(keep[:, None], (grid.nrings, grid.nphi))
-    model, truth = simulate_dataset(
-        jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
-        dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
-        fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype)
+    if cfg.grid == "healpix":
+        from ..sht.healpix import make_healpix_sht
+        from ..sht.healpix_pix import galactic_band_mask
+        nside = cfg.nside or max(cfg.lmax // 2, 1)
+        sht = make_healpix_sht(nside, cfg.lmax, dtype=dtype,
+                               spin2=(cfg.spin >= 2))
+        mask = (galactic_band_mask(nside, cfg.mask_band_deg)
+                if cfg.mask_band_deg > 0 else None)
+        from ..harmonics.spectra import variance_expansion, gauss_beam, almxfl
+        bl = (gauss_beam(np.radians(cfg.fwhm_deg), cfg.lmax, dtype=dtype)
+              if cfg.fwhm_deg > 0 else jnp.ones(cfg.lmax + 1, dtype=dtype))
+        noise = NoiseModel.white_healpix(cfg.noise_sigma2, sht.geo,
+                                         nfields=fields.shape[0], mask=mask,
+                                         dtype=dtype)
+        key0 = jax.random.PRNGKey(cfg.seed)
+
+        @jax.jit
+        def _sim(sht, noise, bl, key):
+            ks, kn = jax.random.split(key)
+            var = jax.vmap(lambda d: variance_expansion(
+                jnp.asarray(d, dtype), cfg.lmax))(jnp.asarray(fields, dtype))
+            alm = jnp.sqrt(var) * jax.random.normal(ks, var.shape, dtype=dtype)
+            alm_b = almxfl(alm, bl, cfg.lmax)
+            if cfg.spin == 0:
+                sky = sht.synthesis(alm_b[0])[None]
+            else:
+                q, u = sht.synthesis_spin2(alm_b[0], alm_b[1])
+                sky = jnp.stack([q, u], axis=0)
+            inv = noise.inv_noise
+            std = jnp.where(inv > 0, 1.0 / jnp.sqrt(
+                jnp.where(inv > 0, inv, 1.0)), 0.0)
+            return alm, sky + std * jax.random.normal(kn, sky.shape,
+                                                      dtype=dtype)
+
+        alm_true, d = _sim(sht, noise, bl, key0)
+        model = SkyModel(sht=sht, noise=noise, bl=bl, spin=cfg.spin, d=d)
+        truth = {"alm_true": alm_true}
+    else:
+        mask = None
+        if cfg.mask_band_deg > 0:
+            from ..sht import gauss_legendre_grid
+            grid = gauss_legendre_grid(cfg.lmax)
+            lat = np.abs(np.pi / 2 - grid.theta)
+            keep = (lat > np.radians(cfg.mask_band_deg)).astype(np.float64)
+            mask = np.broadcast_to(keep[:, None], (grid.nrings, grid.nphi))
+        model, truth = simulate_dataset(
+            jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
+            dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
+            fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype)
 
     bins_list = cfg.bins_list()
     nb = len(bins_list[0]) - 1

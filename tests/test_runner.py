@@ -75,3 +75,16 @@ def test_load_cls(tmp_path):
     np.savetxt(txt, np.column_stack([ell, np.ones_like(ell, dtype=float)]))
     out2 = load_cls(txt, lmax=15, columns=("tt",), input_is_dl=False)
     assert np.isclose(out2["tt"][10], 10 * 11 / (2 * np.pi))
+
+
+def test_run_experiment_healpix_grid(tmp_path):
+    out = str(tmp_path / "hp.npz")
+    cfg = RunConfig(lmax=16, spin=0, grid="healpix", nside=8,
+                    scheme="centered", cr_method="cg",
+                    cr_options={"cg_tol": 1e-7, "cg_maxiter": 200},
+                    mask_band_deg=10.0, n_iter=20, nchains=2, segment=20,
+                    dtype="float64", out=out, noise_sigma2=5.0)
+    run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    assert z["dl_chain_0"].shape == (2, 20, 15)
+    assert np.isfinite(z["dl_chain_0"]).all()
