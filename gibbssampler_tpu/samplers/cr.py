@@ -250,15 +250,31 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     """Preconditioned MALA: s' = s + tau Sigma grad + sqrt(2 tau Sigma) xi,
     Sigma = full-sky posterior diagonal, tau = 0.02 (reference:
     CenteredGibbs.py:494-603; tau at :294).  accept=False gives unadjusted
-    ULA (the reference's ULA path MH-corrects anyway, :436-446)."""
+    ULA (the reference's ULA path MH-corrects anyway, :436-446).
+
+    Each state's forward map A B s is computed once and shared between the
+    gradient and the log-target (2 transforms per state instead of 3 —
+    the reference recomputes the SHT for each, CenteredGibbs.py:505-559)."""
     inv_cvar = _safe_inv(var_cls)
     hdiag = model.harmonic_noise_diag().astype(var_cls.dtype)
     sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
     dt = var_cls.dtype
     kp, ka = jax.random.split(key)
+    d = model.d
+    inv_noise = model.noise.inv_noise
+
+    def fwd_grad_logp(x):
+        """forward once -> (gradient, log target)."""
+        fwd = model.forward(x)
+        resid = d - fwd
+        qs = model.project_data(inv_noise * fwd)
+        grad = (-inv_cvar * x - qs + bt_ninv_d) * _active(var_cls)
+        logp = (-0.5 * jnp.sum(inv_cvar * x * x)
+                - 0.5 * jnp.sum(inv_noise * resid * resid))
+        return grad, logp
 
     s = s_old * _active(var_cls)
-    g = _grad_log_target(model, var_cls, s, bt_ninv_d)
+    g, logp_s = fwd_grad_logp(s)
     xi = jax.random.normal(kp, var_cls.shape, dtype=dt)
     prop_mean = s + tau * sigma * g
     s_prop = prop_mean + jnp.sqrt(2.0 * tau * sigma) * xi
@@ -267,16 +283,14 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
         return s_prop, CRInfo(accept=jnp.ones((), dt),
                               extra=jnp.zeros((), dt))
 
-    d = model.d
-    g_prop = _grad_log_target(model, var_cls, s_prop, bt_ninv_d)
+    g_prop, logp_p = fwd_grad_logp(s_prop)
     rev_mean = s_prop + tau * sigma * g_prop
     inv_step = _safe_inv(2.0 * tau * sigma)
 
     def logq(x_to, mean):
         return -0.5 * jnp.sum(inv_step * (x_to - mean) ** 2)
 
-    log_ratio = (_log_target(model, var_cls, s_prop, d)
-                 - _log_target(model, var_cls, s, d)
+    log_ratio = (logp_p - logp_s
                  + logq(s, rev_mean) - logq(s_prop, prop_mean))
     u = jax.random.uniform(ka, dtype=dt)
     acc = jnp.log(u) < log_ratio
