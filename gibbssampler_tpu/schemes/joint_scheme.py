@@ -51,6 +51,14 @@ class JointCenteredGibbs:
         return JointState(s=s, cl=cl), info
 
     def run(self, key, cl_init, n_iter: int, nchains: int = 1):
+        # non-SPD blocks make the per-slot Cholesky silently NaN; validate
+        # the (host-side) initial spectrum up front
+        ev = np.linalg.eigvalsh(np.asarray(cl_init)[self.lmin:])
+        if not (ev >= -1e-12 * max(1.0, float(np.abs(ev).max()))).all():
+            raise ValueError(
+                "cl_init has non-positive-semidefinite blocks (e.g. |TE| > "
+                "sqrt(TT*EE)); min eigenvalue "
+                f"{float(ev.min()):.3e} at l>={self.lmin}")
         kinit, krun = jax.random.split(key)
         init_keys = jax.random.split(kinit, nchains)
         states = jax.vmap(lambda k: self.init_state(k, cl_init))(init_keys)

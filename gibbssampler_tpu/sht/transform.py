@@ -86,10 +86,14 @@ class SHT:
         self.has_phase = bool(np.any(grid.phi0 != 0.0))
         self.phase_cos = jnp.asarray(np.cos(ang), dtype=self.dtype)
         self.phase_sin = jnp.asarray(np.sin(ang), dtype=self.dtype)
-        # azimuthal DFT matrices: ang2[m, j] = 2 pi m j / nphi
-        ang2 = 2.0 * np.pi * np.outer(m, np.arange(grid.nphi)) / grid.nphi
+        # azimuthal DFT matrices, folded over the reflection j <-> nphi - j:
+        # only columns j = 0..nphi/2 are stored; f[j] = C[j] - S[j] and
+        # f[nphi - j] = C[j] + S[j], halving the azimuthal matmul flops
+        nh = grid.nphi // 2 + 1
+        ang2 = 2.0 * np.pi * np.outer(m, np.arange(nh)) / grid.nphi
+        self.nphi_half = nh
         self.dft_cos = jnp.asarray(np.cos(ang2),
-                                   dtype=self.table_dtype)  # (L, nphi)
+                                   dtype=self.table_dtype)  # (L, nh)
         self.dft_sin = jnp.asarray(np.sin(ang2), dtype=self.table_dtype)
         self.lam_p2 = self.lam_m2 = None
         if spin2:
@@ -106,6 +110,20 @@ class SHT:
         c, s = self.phase_cos, sign * self.phase_sin
         return Fre * c - Fim * s, Fre * s + Fim * c
 
+    def _unfold_half(self, lo, hi):
+        """Assemble f over all nphi columns from the half-range results:
+        f[j] = lo[j] (j = 0..n/2), f[n - j] = hi[j] (j = 1..n/2 - 1)."""
+        return jnp.concatenate([lo, hi[..., 1:-1][..., ::-1]], axis=-1)
+
+    def _fold_half(self, maps):
+        """(u, v) with u[j] = f[j] + f[n-j], v[j] = f[j] - f[n-j]
+        (j = 0 and n/2 self-paired) — the transpose of _unfold_half."""
+        lo = maps[..., : self.nphi_half]
+        rev = maps[..., self.nphi_half - 1:][..., ::-1]
+        pad = [(0, 0)] * (maps.ndim - 1) + [(1, 1)]
+        hi = jnp.pad(rev[..., :-1], pad)
+        return lo + hi, lo - hi
+
     def _ring_ifft_real(self, Fre, Fim):
         """f[.., r, j] = sum_m (2 - delta_m0) (Fre cos(m phi_j) - Fim sin).
 
@@ -119,10 +137,11 @@ class SHT:
         cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
         fre = (Fre * cm).astype(self.table_dtype)
         fim = (Fim * cm).astype(self.table_dtype)
-        out = (jnp.matmul(fre, self.dft_cos, preferred_element_type=self.dtype)
-               - jnp.matmul(fim, self.dft_sin,
-                            preferred_element_type=self.dtype))
-        return out.astype(self.dtype)
+        C = jnp.matmul(fre, self.dft_cos,
+                       preferred_element_type=self.dtype).astype(self.dtype)
+        S = jnp.matmul(fim, self.dft_sin,
+                       preferred_element_type=self.dtype).astype(self.dtype)
+        return self._unfold_half(C - S, C + S)
 
     def _ring_fft_real(self, maps):
         """G_m = sum_j f e^{-i m phi_j}; returns (Gre, Gim), (..., nr, L)."""
@@ -131,10 +150,10 @@ class SHT:
             G = jnp.fft.rfft(maps, axis=-1)[..., : self.lmax + 1]
             Gre, Gim = G.real, G.imag
         else:
-            mt = maps.astype(self.table_dtype)
-            Gre = jnp.matmul(mt, self.dft_cos.T,
+            u, v = self._fold_half(maps)
+            Gre = jnp.matmul(u.astype(self.table_dtype), self.dft_cos.T,
                              preferred_element_type=self.dtype).astype(self.dtype)
-            Gim = -jnp.matmul(mt, self.dft_sin.T,
+            Gim = -jnp.matmul(v.astype(self.table_dtype), self.dft_sin.T,
                               preferred_element_type=self.dtype).astype(self.dtype)
         return self._rot(Gre, Gim, -1)
 
@@ -224,23 +243,31 @@ class SHT:
         Bre = (Fp_re - Fm_re * pos).astype(td)
         Bim = (Fp_im - Fm_im * pos).astype(td)
         pet = self.dtype
-        q = (jnp.matmul(Are, self.dft_cos, preferred_element_type=pet)
-             - jnp.matmul(Aim, self.dft_sin, preferred_element_type=pet))
-        u = (jnp.matmul(Bre, self.dft_sin, preferred_element_type=pet)
-             + jnp.matmul(Bim, self.dft_cos, preferred_element_type=pet))
-        return q.astype(self.dtype), u.astype(self.dtype)
+        qc = jnp.matmul(Are, self.dft_cos, preferred_element_type=pet).astype(pet)
+        qs = jnp.matmul(Aim, self.dft_sin, preferred_element_type=pet).astype(pet)
+        us = jnp.matmul(Bre, self.dft_sin, preferred_element_type=pet).astype(pet)
+        uc = jnp.matmul(Bim, self.dft_cos, preferred_element_type=pet).astype(pet)
+        q = self._unfold_half(qc - qs, qc + qs)
+        u = self._unfold_half(uc + us, uc - us)
+        return q, u
 
     def _analysis_spin2_core(self, q_maps, u_maps, ring_w):
         self._require_spin2()
         q = q_maps.astype(self.dtype)
         u = u_maps.astype(self.dtype)
         # C+_m = sum_j (Q + iU) e^{-im phi_j};  C-_m = sum_j (Q + iU) e^{+im phi_j}
-        qt, ut = q.astype(self.table_dtype), u.astype(self.table_dtype)
         pet = self.dtype
-        qc = jnp.matmul(qt, self.dft_cos.T, preferred_element_type=pet).astype(pet)
-        qs = jnp.matmul(qt, self.dft_sin.T, preferred_element_type=pet).astype(pet)
-        uc = jnp.matmul(ut, self.dft_cos.T, preferred_element_type=pet).astype(pet)
-        us = jnp.matmul(ut, self.dft_sin.T, preferred_element_type=pet).astype(pet)
+        td = self.table_dtype
+        qu_, qv_ = self._fold_half(q.astype(pet))
+        uu_, uv_ = self._fold_half(u.astype(pet))
+        qc = jnp.matmul(qu_.astype(td), self.dft_cos.T,
+                        preferred_element_type=pet).astype(pet)
+        qs = jnp.matmul(qv_.astype(td), self.dft_sin.T,
+                        preferred_element_type=pet).astype(pet)
+        uc = jnp.matmul(uu_.astype(td), self.dft_cos.T,
+                        preferred_element_type=pet).astype(pet)
+        us = jnp.matmul(uv_.astype(td), self.dft_sin.T,
+                        preferred_element_type=pet).astype(pet)
         Cp_re, Cp_im = qc + us, uc - qs
         Cm_re, Cm_im = qc - us, uc + qs
         Cp_re, Cp_im = self._rot(Cp_re, Cp_im, -1)
@@ -276,7 +303,8 @@ register_arrays_pytree(
     array_fields=("lam0", "wq", "phase_cos", "phase_sin", "dft_cos",
                   "dft_sin", "lam_p2", "lam_m2"),
     static_fields=("grid", "lmax", "dtype", "table_dtype", "fft_mode",
-                   "has_phase", "nphi", "nrings", "_constrain_F"),
+                   "has_phase", "nphi", "nphi_half", "nrings",
+                   "_constrain_F"),
 )
 
 
