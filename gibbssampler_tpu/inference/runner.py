@@ -203,9 +203,12 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
     if ck is None:
         iters_done = 0
         chains = None
+        from ..schemes.gibbs import _init_scheme
         kinit, key = jax.random.split(key)
         init_keys = jax.random.split(kinit, cfg.nchains)
-        states = jax.vmap(lambda k: scheme.init_state(k, dl0))(init_keys)
+        dl0j = tuple(jnp.asarray(d, dtype=scheme.model.sht.dtype)
+                     for d in dl0)
+        states = _init_scheme(scheme, init_keys, dl0j)
     else:
         iters_done = ck["iters_done"]
         chains = ck["chains"]

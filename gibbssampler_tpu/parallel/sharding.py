@@ -84,9 +84,11 @@ def sharded_run(scheme, key, dl_init_tuple, n_iter: int, nchains: int,
     if nchains % n_dev:
         raise ValueError(f"nchains={nchains} not divisible by chains axis "
                          f"size {n_dev}")
+    from ..schemes.gibbs import _init_scheme
     kinit, krun = jax.random.split(key)
     init_keys = jax.random.split(kinit, nchains)
-    states = jax.vmap(lambda k: scheme.init_state(k, dl_init_tuple))(init_keys)
+    dl0 = jax.tree.map(jnp.asarray, tuple(dl_init_tuple))
+    states = _init_scheme(scheme, init_keys, dl0)
     states = jax.device_put(
         states, jax.tree.map(
             lambda a: chain_sharding(mesh, np.ndim(a)), states))

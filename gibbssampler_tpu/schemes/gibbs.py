@@ -144,8 +144,9 @@ class GibbsScheme:
         histories, main_polarization.py:175-185)."""
         kinit, krun = jax.random.split(key)
         init_keys = jax.random.split(kinit, nchains)
-        states = jax.vmap(lambda k: self.init_state(k, dl_init_tuple))(
-            init_keys)
+        dl0 = tuple(jnp.asarray(d, dtype=self.model.sht.dtype)
+                    for d in dl_init_tuple)
+        states = _init_scheme(self, init_keys, dl0)
         keys = jax.random.split(krun, n_iter)
         # the scheme itself is a pytree argument: operator tables enter the
         # compiled program as runtime parameters, not baked constants
@@ -158,6 +159,14 @@ class GibbsScheme:
             out[k] = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), v)
         out["final_state"] = states
         return out
+
+
+@jax.jit
+def _init_scheme(scheme, keys, dl_init_tuple):
+    """Vmapped chain initialization as ONE compiled unit (bare vmap would
+    dispatch eagerly primitive-by-primitive — expensive on remote-compile
+    backends)."""
+    return jax.vmap(lambda k: scheme.init_state(k, dl_init_tuple))(keys)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -59,9 +59,12 @@ class JointCenteredGibbs:
                 "cl_init has non-positive-semidefinite blocks (e.g. |TE| > "
                 "sqrt(TT*EE)); min eigenvalue "
                 f"{float(ev.min()):.3e} at l>={self.lmin}")
+        from .gibbs import _init_scheme
         kinit, krun = jax.random.split(key)
         init_keys = jax.random.split(kinit, nchains)
-        states = jax.vmap(lambda k: self.init_state(k, cl_init))(init_keys)
+        states = _init_scheme(self, init_keys,
+                              jnp.asarray(cl_init,
+                                          dtype=self.model.sht.dtype))
         keys = jax.random.split(krun, n_iter)
         states, infos = _scan_scheme(self, states, keys, nchains)
         out = {"dl_chains": (jnp.moveaxis(infos["dl"][0], 0, 1),),

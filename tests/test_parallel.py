@@ -71,3 +71,34 @@ def test_sharded_model_gibbs_step():
     chain = np.asarray(out["dl_chains"][0])
     assert chain.shape == (4, 10, LMAX - 1)
     assert np.isfinite(chain).all()
+
+
+def test_adapt_segments_tunes_sigmas():
+    """Warmup adaptation drives the proposal scales toward the pooled
+    posterior spread (replacing the reference's offline two-phase tuning,
+    config.py:136-225)."""
+    from gibbssampler_tpu.inference import example_dl, simulate_dataset
+    from gibbssampler_tpu.parallel import adapt_segments
+    from gibbssampler_tpu.schemes import NonCenteredGibbs
+
+    lmax = 10
+    dl = example_dl(lmax, amp=10.0)
+    model, _ = simulate_dataset(jax.random.PRNGKey(0), lmax, spin=0,
+                                dl_fields=dl[None], noise_sigma2=50.0,
+                                dtype=jnp.float64)
+    bins = np.arange(2, lmax + 2)
+    nb = len(bins) - 1
+    blocks = [(i, min(i + 2, nb)) for i in range(0, nb, 2)]
+    d_alm = model.sht.analysis(model.d[0])[None]
+
+    def make(sig):
+        return NonCenteredGibbs(model, [bins], [blocks], sig, n_iter_mh=1,
+                                all_sph=True, d_alm=d_alm[0])
+
+    sig0 = [np.full(nb, 1e-4)]    # absurdly narrow start
+    sig, dl_start, out = adapt_segments(
+        make, jax.random.PRNGKey(1), (dl[2:],), sig0, n_segments=2,
+        seg_iters=150, nchains=4)
+    assert np.all(sig[0] > 1e-4)           # scales opened up
+    acc = np.asarray(out["mh_accept"][0]).mean()
+    assert np.isfinite(acc)

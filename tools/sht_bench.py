@@ -45,13 +45,18 @@ def bench(table_dtype):
         (e_, b_), _ = jax.lax.scan(body, (e, b), None, length=n)
         return e_, b_
 
-    out = roundtrip(sht, e, b, 3)
-    jax.block_until_ready(out)
+    # NOTE: block_until_ready is unreliable on the axon backend; force
+    # completion by fetching a value, and use two scan lengths to cancel
+    # dispatch overhead
+    _ = float(roundtrip(sht, e, b, 2)[0][0, 0])
+    _ = float(roundtrip(sht, e, b, REPS)[0][0, 0])
     t0 = time.time()
-    out = roundtrip(sht, e, b, REPS)
-    jax.block_until_ready(out)
+    _ = float(roundtrip(sht, e, b, 2)[0][0, 0])
+    t2 = time.time() - t0
+    t0 = time.time()
+    _ = float(roundtrip(sht, e, b, REPS)[0][0, 0])
     dt = time.time() - t0
-    per_pair = dt / REPS
+    per_pair = (dt - t2) / (REPS - 2)
     bytes_per_transform = (2 * (LMAX + 1) ** 2 * sht.grid.nrings
                            * jnp.dtype(table_dtype).itemsize)
     bw = 2 * bytes_per_transform / per_pair / 1e9
