@@ -76,6 +76,10 @@ def _simulate_core(lmax, sht, noise, bl, key, spin, dl_fields, mask_arr):
     alm_beamed = almxfl(alm_true, bl, lmax)
     if spin == 0:
         sky = sht.synthesis(alm_beamed[0])[None]
+    elif spin == 3:
+        t = sht.synthesis(alm_beamed[0])
+        q, u = sht.synthesis_spin2(alm_beamed[1], alm_beamed[2])
+        sky = jnp.stack([t, q, u], axis=0)
     else:
         q, u = sht.synthesis_spin2(alm_beamed[0], alm_beamed[1])
         sky = jnp.stack([q, u], axis=0)
@@ -99,7 +103,7 @@ def simulate_dataset(key, lmax: int, spin: int, dl_fields,
         sht = make_sht(lmax, grid=grid, dtype=dtype, spin2=(spin >= 2))
     bl = gauss_beam(fwhm_radians, lmax, dtype=dtype) if fwhm_radians > 0 \
         else jnp.ones(lmax + 1, dtype=dtype)
-    nf = 2 if spin == 2 else 1
+    nf = {0: 1, 2: 2, 3: 3}[spin]
     noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=nf, mask=mask,
                              dtype=dtype)
     dl_fields = jnp.asarray(np.asarray(dl_fields), dtype=dtype)
