@@ -140,7 +140,6 @@ def _build(cfg: RunConfig):
     kw = dict(cr_method=cfg.cr_method, cr_options=dict(cfg.cr_options))
     d_alm = None
     if cfg.all_sph:
-        d_alm = model.adjoint_synthesis(model.d) * 0  # placeholder
         if cfg.spin == 0:
             d_alm = model.sht.analysis(model.d[0])[None]
         else:

@@ -8,6 +8,8 @@ simulates skies with its own SHT (hp.synfast equivalent)."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -61,11 +63,10 @@ def synfast(key, dl_fields, sht: SHT, spin: int):
     return alm, maps
 
 
-import functools
-
-
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def _simulate_core(lmax, sht, noise, bl, key, spin, dl_fields, mask_arr):
+@jax.jit
+def _simulate_core(sht, noise, bl, key, dl_fields, mask_arr):
+    lmax = sht.lmax
+    spin = {1: 0, 2: 2, 3: 3}[dl_fields.shape[0]]
     """One compiled unit for the whole simulation pipeline (eager op-by-op
     dispatch costs seconds per primitive through remote-compile backends)."""
     from ..harmonics.spectra import almxfl
@@ -108,8 +109,9 @@ def simulate_dataset(key, lmax: int, spin: int, dl_fields,
                              dtype=dtype)
     dl_fields = jnp.asarray(np.asarray(dl_fields), dtype=dtype)
     mask_arr = None if mask is None else jnp.asarray(mask, dtype=dtype)
-    alm_true, sky, d = _simulate_core(lmax, sht, noise, bl, key, spin,
-                                      dl_fields, mask_arr)
+    from ..utils.exec_cache import cached_call
+    alm_true, sky, d = cached_call(_simulate_core, "sim", sht, noise, bl,
+                                   key, dl_fields, mask_arr)
     model = SkyModel(sht=sht, noise=noise, bl=bl, spin=spin, d=d)
     truth = {"alm_true": alm_true, "dl_true": dl_fields, "sky": sky}
     return model, truth

@@ -48,6 +48,8 @@ class GibbsState(NamedTuple):
 CR_METHODS = ("exact", "cg", "rjpo", "aux_gibbs", "overrelax", "mala", "ula",
               "aux_mala", "pcn")
 
+_BT_JIT = jax.jit(lambda m: m.bt_ninv_d())
+
 
 def _make_cr_step(method: str, model: SkyModel, bt_ninv_d, opts: dict):
     """Bind a CR method name to a (key, s, var_cls) -> (s, info) function."""
@@ -103,7 +105,8 @@ class GibbsScheme:
         self.lmax = self.model.lmax
         # one compiled unit (eager op-by-op dispatch is slow on remote-compile
         # backends); model rides through jit as a pytree
-        self.bt_ninv_d = jax.jit(lambda m: m.bt_ninv_d())(self.model)
+        from ..utils.exec_cache import cached_call
+        self.bt_ninv_d = cached_call(_BT_JIT, "btninv", self.model)
         self._rebind()
 
     def _rebind(self):
@@ -162,20 +165,33 @@ class GibbsScheme:
 
 
 @jax.jit
-def _init_scheme(scheme, keys, dl_init_tuple):
+def _init_scheme_jit(scheme, keys, dl_init_tuple):
     """Vmapped chain initialization as ONE compiled unit (bare vmap would
     dispatch eagerly primitive-by-primitive — expensive on remote-compile
     backends)."""
     return jax.vmap(lambda k: scheme.init_state(k, dl_init_tuple))(keys)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _scan_scheme(scheme, states, keys, nchains):
+def _init_scheme(scheme, keys, dl_init_tuple):
+    from ..utils.exec_cache import cached_call
+    return cached_call(_init_scheme_jit, "init", scheme, keys, dl_init_tuple)
+
+
+@jax.jit
+def _scan_scheme_jit(scheme, states, keys):
+    nchains = jax.tree.leaves(states)[0].shape[0]
+
     def one_iter(states, key):
         ks = jax.random.split(key, nchains)
         return jax.vmap(scheme.step)(ks, states)
 
     return jax.lax.scan(one_iter, states, keys)
+
+
+def _scan_scheme(scheme, states, keys, nchains=None):
+    # nchains retained for call-site compatibility; inferred from states
+    from ..utils.exec_cache import cached_call
+    return cached_call(_scan_scheme_jit, "scan", scheme, states, keys)
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,9 @@ class JointCenteredGibbs:
         self.model = model
         self.lmin = lmin
         self.lmax = model.lmax
-        self.bt_ninv_d = jax.jit(lambda m: m.bt_ninv_d())(model)
+        from ..utils.exec_cache import cached_call
+        from .gibbs import _BT_JIT
+        self.bt_ninv_d = cached_call(_BT_JIT, "btninv", model)
 
     def init_state(self, key, cl_init) -> JointState:
         cl0 = jnp.asarray(cl_init, dtype=self.model.sht.dtype)
