@@ -102,3 +102,28 @@ def test_adapt_segments_tunes_sigmas():
     assert np.all(sig[0] > 1e-4)           # scales opened up
     acc = np.asarray(out["mh_accept"][0]).mean()
     assert np.isfinite(acc)
+
+
+def test_device_rhat_matches_numpy():
+    from gibbssampler_tpu.parallel import split_rhat_device
+    from gibbssampler_tpu.diagnostics import split_rhat
+    rng = np.random.default_rng(3)
+    chains = rng.normal(size=(4, 400, 2))
+    chains[2] += 0.5   # introduce between-chain spread
+    r_dev = np.asarray(jax.jit(split_rhat_device)(jnp.asarray(chains)))
+    for p in range(2):
+        r_np = split_rhat(chains[:, :, p])
+        assert abs(r_dev[p] - r_np) < 1e-10
+
+
+def test_device_rhat_sharded():
+    """Pooled R-hat inside a jit over a sharded chain axis."""
+    from gibbssampler_tpu.parallel import make_mesh, chain_sharding, \
+        split_rhat_device
+    mesh = make_mesh(n_chains=8, n_m=1)
+    rng = np.random.default_rng(4)
+    chains = jnp.asarray(rng.normal(size=(8, 100, 3)))
+    chains = jax.device_put(chains, chain_sharding(mesh, 3))
+    with mesh:
+        r = jax.jit(split_rhat_device)(chains)
+    assert np.all(np.asarray(r) < 1.2)
