@@ -10,7 +10,6 @@ cross-chain statistics happened by reloading SLURM-array outputs from disk
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 __all__ = ["effective_sample_size", "split_rhat", "esjd", "summarize_chains"]
 

@@ -21,7 +21,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax
@@ -74,6 +74,10 @@ def _build(cfg: RunConfig):
     dtype = jnp.dtype(cfg.dtype)
     if cfg.spin == 0:
         fields = example_dl(cfg.lmax, amp=1000.0)[None]
+    elif cfg.spin == 3:
+        fields = np.stack([example_dl(cfg.lmax, "tt", amp=1000.0),
+                           example_dl(cfg.lmax, "ee", amp=1000.0),
+                           example_dl(cfg.lmax, "bb", amp=1000.0)])
     else:
         fields = np.stack([example_dl(cfg.lmax, "ee", amp=1000.0),
                            example_dl(cfg.lmax, "bb", amp=1000.0)])
@@ -145,6 +149,18 @@ def _build(cfg: RunConfig):
         else:
             e, b = model.sht.analysis_spin2(model.d[0], model.d[1])
             d_alm = jnp.stack([e, b])
+    if cfg.scheme == "joint":
+        if cfg.spin != 3:
+            raise ValueError("scheme='joint' requires spin=3 (TQU)")
+        from ..schemes import JointCenteredGibbs
+        from ..harmonics.spectra import dl_to_cl_factor
+        scheme = JointCenteredGibbs(model)
+        # initial blocks: diagonal from the per-field theory D_ell
+        fac = np.asarray(dl_to_cl_factor(cfg.lmax, jnp.float64))
+        C0 = np.zeros((cfg.lmax + 1, 3, 3))
+        for f in range(3):
+            C0[:, f, f] = np.asarray(fields[f]) * fac
+        return scheme, (C0,), truth
     if cfg.scheme == "centered":
         scheme = CenteredGibbs(model, bins_list, **kw)
     elif cfg.scheme == "noncentered":
@@ -195,6 +211,8 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
     """Segmented run with checkpoint/resume; returns the results dict and
     writes it to cfg.out."""
     scheme, dl0, truth = _build(cfg)
+    if cfg.scheme == "joint":
+        return _run_joint(cfg, scheme, dl0[0], verbose)
     ckpt_path = cfg.out + ".ckpt.npz"
     ck = load_checkpoint(ckpt_path) if resume else None
 
@@ -256,6 +274,26 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
         os.remove(ckpt_path)
     except OSError:
         pass
+    return results
+
+
+def _run_joint(cfg, scheme, C0, verbose):
+    """Joint-scheme runs: chains of (lmax+1, k, k) D_ell blocks."""
+    import jax.numpy as jnp
+    t0 = time.time()
+    out = scheme.run(jax.random.PRNGKey(cfg.seed + 1), jnp.asarray(C0),
+                     n_iter=cfg.n_iter, nchains=cfg.nchains)
+    jax.block_until_ready(out["dl_chains"])
+    chain = np.asarray(out["dl_chains"][0])
+    results = {
+        "config": json.dumps({k: (v.tolist() if isinstance(v, np.ndarray)
+                                  else v)
+                              for k, v in dataclasses.asdict(cfg).items()}),
+        "durations": np.asarray([time.time() - t0]),
+        "dl_chain_0": chain,
+    }
+    np.savez(cfg.out, **results)
+    verbose(f"joint run done: chain {chain.shape}")
     return results
 
 

@@ -8,8 +8,6 @@ simulates skies with its own SHT (hp.synfast equivalent)."""
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

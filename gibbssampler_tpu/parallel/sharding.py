@@ -19,8 +19,6 @@ XLA inserts the all-gathers/all-to-alls over ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 import jax
 import jax.numpy as jnp

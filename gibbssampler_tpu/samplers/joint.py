@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from ..harmonics.packing import index_maps, nflat
-from ..harmonics.spectra import dl_to_cl_factor
 from .cr import CRInfo
 
 __all__ = ["expand_cl_blocks", "exact_joint_cr", "synfast_joint",

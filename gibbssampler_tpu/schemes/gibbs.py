@@ -13,9 +13,8 @@ reference's boolean-flag dispatch tangle (CenteredGibbs.py:828-850).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 import jax

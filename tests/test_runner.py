@@ -88,3 +88,13 @@ def test_run_experiment_healpix_grid(tmp_path):
     z = np.load(out)
     assert z["dl_chain_0"].shape == (2, 20, 15)
     assert np.isfinite(z["dl_chain_0"]).all()
+
+
+def test_run_experiment_joint(tmp_path):
+    out = str(tmp_path / "joint.npz")
+    cfg = RunConfig(lmax=10, spin=3, scheme="joint", n_iter=20, nchains=2,
+                    dtype="float64", out=out, noise_sigma2=0.5)
+    res = run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    assert z["dl_chain_0"].shape == (2, 20, 11, 3, 3)
+    assert np.isfinite(z["dl_chain_0"]).all()
