@@ -231,8 +231,10 @@ def invwishart_cls_sample(key, s: jnp.ndarray, lmax: int, lmin: int = 2):
     LLT = Lmat @ jnp.swapaxes(Lmat, -1, -2)
     inv_LLT = jnp.linalg.inv(LLT + 1e-30 * eye)
     C = cS @ inv_LLT @ jnp.swapaxes(cS, -1, -2)
-    lmask = (jnp.arange(lmax + 1) >= lmin).astype(dt)
-    return C * lmask[:, None, None]
+    lmask = jnp.arange(lmax + 1) >= lmin
+    # where (not multiply): sub-lmin rows can contain inf from degenerate
+    # scatters, and 0 * inf = nan
+    return jnp.where(lmask[:, None, None], C, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -62,7 +62,11 @@ def cached_call(jitted, key: str, *args):
     ``jitted`` must be a jax.jit-wrapped callable; args are the (pytree)
     call arguments.  Falls back to a plain call if anything about
     serialization fails (e.g. an unsupported backend)."""
-    if not cache_enabled():
+    if not cache_enabled() or (jax.default_backend() == "cpu"
+                               and os.environ.get("GS_EXEC_CACHE") != "force"):
+        # CPU AOT results may embed machine features the execution host
+        # lacks (observed SIGSEGV on reload); CPU compiles are cheap, so
+        # the cache is TPU-only (GS_EXEC_CACHE=force overrides, for tests)
         return jitted(*args)
     from jax.experimental import serialize_executable as se
 

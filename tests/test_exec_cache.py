@@ -11,6 +11,7 @@ from gibbssampler_tpu.utils import exec_cache
 
 def test_cached_call_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setenv("GS_EXEC_CACHE", "force")
     exec_cache._loaded.clear()
 
     calls = []
@@ -53,6 +54,7 @@ def test_cache_disable(tmp_path, monkeypatch):
 
 def test_corrupt_entry_recovers(tmp_path, monkeypatch):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setenv("GS_EXEC_CACHE", "force")
     exec_cache._loaded.clear()
 
     @jax.jit
