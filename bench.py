@@ -36,6 +36,8 @@ NCHAINS = int(os.environ.get("BENCH_NCHAINS", "64"))
 # bfloat16 tables are faster but cost an extra compile pass; the compile
 # tunnel has no persistent cache, so default to the proven fp32 path
 TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
+# azimuthal DFT mode: "matmul" (direct folded) or "ct" (mixed-radix factored)
+FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
 N_ITER = int(os.environ.get("BENCH_ITERS", "150"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 REF_SEC_PER_ITER = 3.0
@@ -66,7 +68,7 @@ def build():
         f"npix={grid.npix}")
     from gibbssampler_tpu.sht import make_sht
     sht = make_sht(LMAX, dtype=jnp.float32, spin2=True,
-                   table_dtype=jnp.dtype(TABLE_DTYPE))
+                   table_dtype=jnp.dtype(TABLE_DTYPE), fft_mode=FFT_MODE)
     model, _ = simulate_dataset(
         jax.random.PRNGKey(0), LMAX, spin=2,
         dl_fields=np.stack([dl_ee, dl_bb]),

@@ -15,6 +15,11 @@ The azimuthal (longitude) stage has two interchangeable implementations:
   executes it at matmul speed (for nphi ~ 2 lmax the cost matches the
   Legendre stage, so the quadratic azimuthal stage is not the bottleneck).
 - ``fft_mode="fft"``: complex rFFTs (CPU/GPU).
+- ``fft_mode="ct"``: one Cooley–Tukey split (n = n1*n2) expressed as two
+  real matmul stages with a twiddle in between — the FFT idea restated as
+  MXU work for backends with no complex/FFT support.  ~4x fewer azimuthal
+  flops at production lmax; falls back to "matmul" when nphi has no useful
+  factorization.
 
 Both stages batch over arbitrary leading axes (fields, chains), so vmapping
 chains turns everything into large MXU matmuls.  On the Gauss–Legendre grid
@@ -95,6 +100,11 @@ class SHT:
         self.dft_cos = jnp.asarray(np.cos(ang2),
                                    dtype=self.table_dtype)  # (L, nh)
         self.dft_sin = jnp.asarray(np.sin(ang2), dtype=self.table_dtype)
+        self._ct = None
+        if fft_mode == "ct":
+            self._ct = _ct_setup(grid.nphi, L, self.table_dtype)
+            if self._ct is None:
+                self.fft_mode = "matmul"
         self.lam_p2 = self.lam_m2 = None
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, grid.theta)
@@ -137,6 +147,8 @@ class SHT:
         cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
         fre = (Fre * cm).astype(self.table_dtype)
         fim = (Fim * cm).astype(self.table_dtype)
+        if self.fft_mode == "ct":
+            return _ct_halfspec_to_real(self._ct, fre, fim, self.dtype)
         C = jnp.matmul(fre, self.dft_cos,
                        preferred_element_type=self.dtype).astype(self.dtype)
         S = jnp.matmul(fim, self.dft_sin,
@@ -149,6 +161,10 @@ class SHT:
         if self.fft_mode == "fft":
             G = jnp.fft.rfft(maps, axis=-1)[..., : self.lmax + 1]
             Gre, Gim = G.real, G.imag
+        elif self.fft_mode == "ct":
+            C, S = _ct_real_to_halfspec(self._ct, maps.astype(self.table_dtype),
+                                        self.dtype)
+            Gre, Gim = C, -S
         else:
             u, v = self._fold_half(maps)
             Gre = jnp.matmul(u.astype(self.table_dtype), self.dft_cos.T,
@@ -243,6 +259,11 @@ class SHT:
         Bre = (Fp_re - Fm_re * pos).astype(td)
         Bim = (Fp_im - Fm_im * pos).astype(td)
         pet = self.dtype
+        if self.fft_mode == "ct":
+            # Q = Re sum (Are + i Aim) w^mj ; U = Re sum (Bim - i Bre) w^mj
+            q = _ct_halfspec_to_real(self._ct, Are, Aim, pet)
+            u = _ct_halfspec_to_real(self._ct, Bim, -Bre, pet)
+            return q, u
         qc = jnp.matmul(Are, self.dft_cos, preferred_element_type=pet).astype(pet)
         qs = jnp.matmul(Aim, self.dft_sin, preferred_element_type=pet).astype(pet)
         us = jnp.matmul(Bre, self.dft_sin, preferred_element_type=pet).astype(pet)
@@ -258,16 +279,20 @@ class SHT:
         # C+_m = sum_j (Q + iU) e^{-im phi_j};  C-_m = sum_j (Q + iU) e^{+im phi_j}
         pet = self.dtype
         td = self.table_dtype
-        qu_, qv_ = self._fold_half(q.astype(pet))
-        uu_, uv_ = self._fold_half(u.astype(pet))
-        qc = jnp.matmul(qu_.astype(td), self.dft_cos.T,
-                        preferred_element_type=pet).astype(pet)
-        qs = jnp.matmul(qv_.astype(td), self.dft_sin.T,
-                        preferred_element_type=pet).astype(pet)
-        uc = jnp.matmul(uu_.astype(td), self.dft_cos.T,
-                        preferred_element_type=pet).astype(pet)
-        us = jnp.matmul(uv_.astype(td), self.dft_sin.T,
-                        preferred_element_type=pet).astype(pet)
+        if self.fft_mode == "ct":
+            qc, qs = _ct_real_to_halfspec(self._ct, q.astype(td), pet)
+            uc, us = _ct_real_to_halfspec(self._ct, u.astype(td), pet)
+        else:
+            qu_, qv_ = self._fold_half(q.astype(pet))
+            uu_, uv_ = self._fold_half(u.astype(pet))
+            qc = jnp.matmul(qu_.astype(td), self.dft_cos.T,
+                            preferred_element_type=pet).astype(pet)
+            qs = jnp.matmul(qv_.astype(td), self.dft_sin.T,
+                            preferred_element_type=pet).astype(pet)
+            uc = jnp.matmul(uu_.astype(td), self.dft_cos.T,
+                            preferred_element_type=pet).astype(pet)
+            us = jnp.matmul(uv_.astype(td), self.dft_sin.T,
+                            preferred_element_type=pet).astype(pet)
         Cp_re, Cp_im = qc + us, uc - qs
         Cm_re, Cm_im = qc - us, uc + qs
         Cp_re, Cp_im = self._rot(Cp_re, Cp_im, -1)
@@ -298,10 +323,100 @@ class SHT:
                                          jnp.ones_like(self.wq))
 
 
+class _CT:
+    """Mixed-radix azimuthal operator: DFT_n factored as two matmul stages
+    with a twiddle in between (n = n1 n2; m = n1 a + b; j = j2 + n2 j1).
+    For n ~ 2 lmax this cuts the azimuthal flops ~4x vs the direct
+    (folded) DFT matmul — the FFT idea expressed as MXU matmuls, for
+    backends with no complex/FFT support."""
+
+    def __init__(self, n, n1, n2, A, L, td):
+        self.n, self.n1, self.n2, self.A, self.L = n, n1, n2, A, L
+        a = np.arange(A)[:, None] * np.arange(n2)[None, :]
+        w2 = 2.0 * np.pi * a / n2
+        self.W2c = jnp.asarray(np.cos(w2), dtype=td)     # (A, n2)
+        self.W2s = jnp.asarray(np.sin(w2), dtype=td)
+        tw = 2.0 * np.pi * (np.arange(n1)[:, None]
+                            * np.arange(n2)[None, :]) / n
+        self.TWc = jnp.asarray(np.cos(tw), dtype=td)     # (n1, n2)
+        self.TWs = jnp.asarray(np.sin(tw), dtype=td)
+        w1 = 2.0 * np.pi * (np.arange(n1)[:, None]
+                            * np.arange(n1)[None, :]) / n1
+        self.W1c = jnp.asarray(np.cos(w1), dtype=td)     # (n1, n1)
+        self.W1s = jnp.asarray(np.sin(w1), dtype=td)
+
+
+def _ct_setup(n, L, td):
+    """Pick n = n1 n2 minimizing 4 ceil(L/n1) + 2 n1; None if no useful
+    factorization exists."""
+    best = None
+    for n1 in range(2, n):
+        if n % n1:
+            continue
+        A = -(-L // n1)
+        cost = 4 * A + 2 * n1
+        if best is None or cost < best[0]:
+            best = (cost, n1)
+    if best is None or best[0] >= 2 * (n // 2 + 1) * L // n:
+        return None
+    n1 = best[1]
+    return _CT(n, n1, n // n1, -(-L // n1), L, td)
+
+
+def _ct_halfspec_to_real(ct, Gre, Gim, out_dtype):
+    """f[..., j] = Re sum_{m<L} (Gre + i Gim)[m] e^{2 pi i m j / n}."""
+    pad = ct.A * ct.n1 - ct.L
+    if pad:
+        padspec = [(0, 0)] * (Gre.ndim - 1) + [(0, pad)]
+        Gre = jnp.pad(Gre, padspec)
+        Gim = jnp.pad(Gim, padspec)
+    Xre = Gre.reshape(Gre.shape[:-1] + (ct.A, ct.n1))
+    Xim = Gim.reshape(Xre.shape)
+    pet = out_dtype
+    e = lambda x, w: jnp.einsum("...ab,aj->...bj", x, w,
+                                preferred_element_type=pet).astype(pet)
+    T1re = e(Xre, ct.W2c) - e(Xim, ct.W2s)
+    T1im = e(Xre, ct.W2s) + e(Xim, ct.W2c)
+    T2re = T1re * ct.TWc - T1im * ct.TWs
+    T2im = T1re * ct.TWs + T1im * ct.TWc
+    f = lambda x, w: jnp.einsum("...bj,bk->...jk", x.astype(Gre.dtype), w,
+                                preferred_element_type=pet).astype(pet)
+    out = f(T2re, ct.W1c) - f(T2im, ct.W1s)      # (..., n2, n1)
+    # j = j2 + n2 j1  ->  flatten with j1 major
+    out = jnp.swapaxes(out, -1, -2)              # (..., n1, n2)
+    return out.reshape(out.shape[:-2] + (ct.n,))
+
+
+def _ct_real_to_halfspec(ct, maps, out_dtype):
+    """(C, S)[..., m] = (sum_j f cos(2 pi m j/n), sum_j f sin(...)), m < L —
+    the exact transpose of _ct_halfspec_to_real."""
+    pet = out_dtype
+    x = maps.reshape(maps.shape[:-1] + (ct.n1, ct.n2))   # (..., j1, j2)
+    e2 = lambda v, w: jnp.einsum("...kj,bk->...bj", v, w,
+                                 preferred_element_type=pet).astype(pet)
+    Ure = e2(x, ct.W1c)
+    Uim = -e2(x, ct.W1s)
+    Vre = Ure * ct.TWc + Uim * ct.TWs
+    Vim = Uim * ct.TWc - Ure * ct.TWs
+    g = lambda v, w: jnp.einsum("...bj,aj->...ab", v.astype(maps.dtype), w,
+                                preferred_element_type=pet).astype(pet)
+    Cre = g(Vre, ct.W2c) + g(Vim, ct.W2s)
+    Cim = g(Vim, ct.W2c) - g(Vre, ct.W2s)
+    Cre = Cre.reshape(Cre.shape[:-2] + (ct.A * ct.n1,))[..., : ct.L]
+    Cim = Cim.reshape(Cim.shape[:-2] + (ct.A * ct.n1,))[..., : ct.L]
+    return Cre, -Cim
+
+
+register_arrays_pytree(
+    _CT,
+    array_fields=("W2c", "W2s", "TWc", "TWs", "W1c", "W1s"),
+    static_fields=("n", "n1", "n2", "A", "L"),
+)
+
 register_arrays_pytree(
     SHT,
     array_fields=("lam0", "wq", "phase_cos", "phase_sin", "dft_cos",
-                  "dft_sin", "lam_p2", "lam_m2"),
+                  "dft_sin", "lam_p2", "lam_m2", "_ct"),
     static_fields=("grid", "lmax", "dtype", "table_dtype", "fft_mode",
                    "has_phase", "nphi", "nphi_half", "nrings",
                    "_constrain_F"),

@@ -173,3 +173,43 @@ def test_spin2_pure_e_analytic(sht):
     expect_q = -np.sqrt(15.0 / (32.0 * np.pi)) * np.sin(th) ** 2
     np.testing.assert_allclose(np.asarray(q[:, 0]), expect_q, atol=1e-12)
     np.testing.assert_allclose(np.asarray(u), 0.0, atol=1e-12)
+
+
+def test_ct_mode_matches_matmul():
+    """Mixed-radix ('ct') azimuthal path must agree with the direct DFT
+    matmuls on every public transform (synthesis/analysis, spin 0 and 2)."""
+    from gibbssampler_tpu.sht.transform import SHT
+
+    lmax = 64  # GL nphi=130=13*10 admits a useful factorization
+    g = gauss_legendre_grid(lmax)
+    s0 = SHT(g, lmax, spin2=True, fft_mode="matmul", dtype=jnp.float64)
+    s1 = SHT(g, lmax, spin2=True, fft_mode="ct", dtype=jnp.float64)
+    assert s1.fft_mode == "ct" and s1._ct is not None
+    rng = np.random.default_rng(0)
+    alm = jnp.asarray(rng.standard_normal((nflat(lmax),)))
+    m0, m1 = s0.synthesis(alm), s1.synthesis(alm)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1.analysis(m0)),
+                               np.asarray(s0.analysis(m0)),
+                               rtol=1e-10, atol=1e-10)
+    e = jnp.asarray(rng.standard_normal((nflat(lmax),)))
+    b = jnp.asarray(rng.standard_normal((nflat(lmax),)))
+    q0, u0 = s0.synthesis_spin2(e, b)
+    q1, u1 = s1.synthesis_spin2(e, b)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               rtol=1e-10, atol=1e-10)
+    for x0, x1 in zip(s0.analysis_spin2(q0, u0), s1.analysis_spin2(q0, u0)):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_ct_mode_fallback_small():
+    """No profitable factorization at tiny lmax -> silently fall back."""
+    from gibbssampler_tpu.sht.transform import SHT
+
+    g = gauss_legendre_grid(8)
+    s = SHT(g, 8, fft_mode="ct")
+    assert s.fft_mode == "matmul"
