@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.packing import flat_to_grid, grid_to_flat
+from ..harmonics.gridstate import flat_to_state, state_masks, state_to_flat
 from ..utils.pytree import register_arrays_pytree
 from .legendre import legendre_table, spin2_lambda_tables
 
@@ -118,6 +118,9 @@ class HealpixSHT:
             lp, lm_ = spin2_lambda_tables(lmax, geo.theta)
             self.lam_p2 = jnp.asarray(lp, dtype=self.dtype)
             self.lam_m2 = jnp.asarray(lm_, dtype=self.dtype)
+        sm = state_masks(lmax)
+        self.pack_in = jnp.asarray(sm.in_scale, dtype=self.dtype)
+        self.pack_out = jnp.asarray(sm.out_scale, dtype=self.dtype)
 
         # ring sections (indices into the nrings axis)
         self.ncap = ns - 1
@@ -255,10 +258,23 @@ class HealpixSHT:
         S = jnp.concatenate(Ss, axis=-2)
         return C, S
 
+    # ---- state <-> grid packing (free reshape, fused scale) -----------
+
+    def _state_grids(self, x):
+        L = self.lmax + 1
+        g = x.reshape(x.shape[:-1] + (2, L, L)).astype(self.dtype)
+        return g * self.pack_in
+
+    def _grids_to_state(self, g2):
+        L = self.lmax + 1
+        out = g2 * self.pack_out
+        return out.reshape(g2.shape[:-3] + (2 * L * L,))
+
     # ---- spin 0 -------------------------------------------------------
 
-    def synthesis(self, flat):
-        re, im = flat_to_grid(flat.astype(self.dtype), self.lmax)
+    def synthesis_state(self, x):
+        g2 = self._state_grids(x)
+        re, im = g2[..., 0, :, :], g2[..., 1, :, :]
         Fre = jnp.einsum("mlr,...ml->...rm", self.lam0, re)
         Fim = jnp.einsum("mlr,...ml->...rm", self.lam0, im)
         if self._constrain_F is not None:
@@ -266,13 +282,23 @@ class HealpixSHT:
         cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
         return self._cos_sin_eval(Fre * cm, Fim * cm)
 
-    def adjoint_synthesis(self, maps):
+    def synthesis(self, flat):
+        return self.synthesis_state(
+            flat_to_state(flat.astype(self.dtype), self.lmax))
+
+    def adjoint_synthesis_state(self, maps):
         C, S = self._cos_sin_adj(maps)
         # G_m = sum_j f e^{-im phi} = C - iS; real packing absorbs the cm
         # factor exactly as in the GL transform
         are = jnp.einsum("mlr,...rm->...ml", self.lam0, C)
         aim = jnp.einsum("mlr,...rm->...ml", self.lam0, -S)
-        return grid_to_flat(are, aim, self.lmax)
+        return self._grids_to_state(jnp.stack([are, aim], axis=-3))
+
+    def adjoint_synthesis(self, maps):
+        return state_to_flat(self.adjoint_synthesis_state(maps), self.lmax)
+
+    def analysis_state(self, maps):
+        return self.adjoint_synthesis_state(maps) * self.pixel_area
 
     def analysis(self, maps):
         """iter=0 map2alm: pixel-area-weighted adjoint (approximate inverse,
@@ -285,10 +311,12 @@ class HealpixSHT:
         if self.lam_p2 is None:
             raise ValueError("HealpixSHT built without spin2=True")
 
-    def synthesis_spin2(self, e_flat, b_flat):
+    def synthesis_spin2_state(self, e_state, b_state):
         self._require_spin2()
-        ere, eim = flat_to_grid(e_flat.astype(self.dtype), self.lmax)
-        bre, bim = flat_to_grid(b_flat.astype(self.dtype), self.lmax)
+        eg = self._state_grids(e_state)
+        bg = self._state_grids(b_state)
+        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
+        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
         ap_re, ap_im = -(ere - bim), -(eim + bre)
         am_re, am_im = -(ere + bim), -(eim - bre)
         Fp_re = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_re)
@@ -304,7 +332,12 @@ class HealpixSHT:
         u = self._cos_sin_eval(Bim, -Bre)
         return q, u
 
-    def adjoint_synthesis_spin2(self, q_maps, u_maps):
+    def synthesis_spin2(self, e_flat, b_flat):
+        return self.synthesis_spin2_state(
+            flat_to_state(e_flat.astype(self.dtype), self.lmax),
+            flat_to_state(b_flat.astype(self.dtype), self.lmax))
+
+    def adjoint_synthesis_spin2_state(self, q_maps, u_maps):
         self._require_spin2()
         Cq, Sq = self._cos_sin_adj(q_maps)
         Cu, Su = self._cos_sin_adj(u_maps)
@@ -318,8 +351,16 @@ class HealpixSHT:
         am_im = jnp.einsum("mlr,...rm->...ml", self.lam_m2, -Cm_im)
         e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
         b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
-        return (grid_to_flat(e_re, e_im, self.lmax),
-                grid_to_flat(b_re, b_im, self.lmax))
+        return (self._grids_to_state(jnp.stack([e_re, e_im], axis=-3)),
+                self._grids_to_state(jnp.stack([b_re, b_im], axis=-3)))
+
+    def adjoint_synthesis_spin2(self, q_maps, u_maps):
+        e, b = self.adjoint_synthesis_spin2_state(q_maps, u_maps)
+        return (state_to_flat(e, self.lmax), state_to_flat(b, self.lmax))
+
+    def analysis_spin2_state(self, q_maps, u_maps):
+        e, b = self.adjoint_synthesis_spin2_state(q_maps, u_maps)
+        return e * self.pixel_area, b * self.pixel_area
 
     def analysis_spin2(self, q_maps, u_maps):
         e, b = self.adjoint_synthesis_spin2(q_maps, u_maps)
@@ -330,7 +371,8 @@ register_arrays_pytree(
     HealpixSHT,
     array_fields=("lam0", "lam_p2", "lam_m2", "belt_cos", "belt_sin",
                   "belt_rot_cos", "belt_rot_sin", "cap_cos", "cap_sin",
-                  "_pix_of", "_src_of", "_src_valid", "wq"),
+                  "_pix_of", "_src_of", "_src_valid", "wq", "pack_in",
+                  "pack_out"),
     static_fields=("geo", "grid", "nside", "lmax", "dtype", "_constrain_F",
                    "ncap", "nbelt", "belt_sl", "capS_sl", "cap_wpad",
                    "_npadded", "pixel_area", "nrings"),

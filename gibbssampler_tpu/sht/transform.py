@@ -28,8 +28,10 @@ is the exact transpose (verified to machine precision in tests) — one
 consistent A / A^T everywhere, fixing the reference's mixed iter=3/iter=0
 adjoint discipline (SURVEY.md 2.6.9).
 
-alm are real-packed vectors (see harmonics.packing); maps are
-(..., nrings, nphi) real arrays.
+The hot-path alm format is the grid-packed state (harmonics.gridstate):
+``*_state`` methods consume/produce it with a free reshape.  The reference's
+ragged real packing (harmonics.packing) is supported through thin interop
+wrappers (one boundary gather).  Maps are (..., nrings, nphi) real arrays.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.packing import flat_to_grid, grid_to_flat
+from ..harmonics.gridstate import flat_to_state, state_masks, state_to_flat
 from ..utils.pytree import register_arrays_pytree
 from .grids import SphereGrid, gauss_legendre_grid
 from .legendre import legendre_table, spin2_lambda_tables
@@ -110,6 +112,11 @@ class SHT:
             lp, lm_ = spin2_lambda_tables(lmax, grid.theta)
             self.lam_p2 = jnp.asarray(lp, dtype=self.table_dtype)
             self.lam_m2 = jnp.asarray(lm_, dtype=self.table_dtype)
+        # grid-packed state <-> true Re/Im grid diagonal scales (see
+        # harmonics.gridstate): elementwise, fused into the Legendre casts
+        sm = state_masks(lmax)
+        self.pack_in = jnp.asarray(sm.in_scale, dtype=self.dtype)
+        self.pack_out = jnp.asarray(sm.out_scale, dtype=self.dtype)
 
     # -- shared azimuthal-stage helpers (all real arithmetic) -------------
 
@@ -173,57 +180,97 @@ class SHT:
                               preferred_element_type=self.dtype).astype(self.dtype)
         return self._rot(Gre, Gim, -1)
 
+    # -- state <-> grid packing (free reshape + fused diagonal scale) ------
+
+    def _state_grids(self, x):
+        """Grid-packed state (..., nstate) -> scaled (..., 2, L, L) grids —
+        a reshape plus a fused elementwise scale, replacing the flat
+        layout's gathers (the single largest cost of the old pipeline,
+        tools/stage_probe.py)."""
+        L = self.lmax + 1
+        g = x.reshape(x.shape[:-1] + (2, L, L)).astype(self.dtype)
+        return g * self.pack_in
+
+    def _grids_to_state(self, g2):
+        """Stacked (..., 2, L, L) true Re/Im grids -> grid-packed state."""
+        L = self.lmax + 1
+        out = g2 * self.pack_out
+        return out.reshape(g2.shape[:-3] + (2 * L * L,))
+
     # -- einsum cores (re/im stacked so each table is read once) -----------
+
+    def _lsynth_stack(self, lam, g2):
+        """(..., 2|2k, L, L) grids -> F (..., 2|2k, nr, L), one table read."""
+        F = jnp.einsum("mlr,...cml->...crm", lam, g2.astype(self.table_dtype),
+                       preferred_element_type=self.dtype).astype(self.dtype)
+        return F
 
     def _lsynth2(self, lam, re, im):
         """[re, im] (..., L, L) -> (Fre, Fim) (..., nr, L), one table read."""
-        x = jnp.stack([re, im], axis=-3).astype(self.table_dtype)
-        F = jnp.einsum("mlr,...cml->...crm", lam, x,
-                       preferred_element_type=self.dtype).astype(self.dtype)
+        F = self._lsynth_stack(lam, jnp.stack([re, im], axis=-3))
         return F[..., 0, :, :], F[..., 1, :, :]
+
+    def _ladj_stack(self, lam, g):
+        """(..., c, nr, L) ring grids -> (..., c, L, L) alm grids."""
+        return jnp.einsum("mlr,...crm->...cml", lam,
+                          g.astype(self.table_dtype),
+                          preferred_element_type=self.dtype).astype(self.dtype)
 
     def _ladj2(self, lam, Gre, Gim):
         """(Gre, Gim) (..., nr, L) -> (are, aim) (..., L, L) grids."""
-        g = jnp.stack([Gre, Gim], axis=-3).astype(self.table_dtype)
-        a = jnp.einsum("mlr,...crm->...cml", lam, g,
-                       preferred_element_type=self.dtype).astype(self.dtype)
+        a = self._ladj_stack(lam, jnp.stack([Gre, Gim], axis=-3))
         return a[..., 0, :, :], a[..., 1, :, :]
 
     # -- spin 0 ------------------------------------------------------------
 
-    def _legendre_synth(self, flat, lam):
-        """flat alm -> (Fre, Fim) ring Fourier coefficients (..., nr, L)."""
-        re, im = flat_to_grid(flat.astype(self.dtype), self.lmax)
-        Fre, Fim = self._lsynth2(lam, re, im)
+    def _legendre_synth_state(self, x, lam):
+        """state -> (Fre, Fim) ring Fourier coefficients (..., nr, L)."""
+        F = self._lsynth_stack(lam, self._state_grids(x))
+        Fre, Fim = F[..., 0, :, :], F[..., 1, :, :]
         if self._constrain_F is not None:
             Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
         return Fre, Fim
 
-    def synthesis(self, flat: jnp.ndarray) -> jnp.ndarray:
-        """A: real-packed alm (..., (lmax+1)^2) -> map (..., nr, nphi)."""
-        Fre, Fim = self._legendre_synth(flat, self.lam0)
+    def synthesis_state(self, x: jnp.ndarray) -> jnp.ndarray:
+        """A: grid-packed alm state (..., nstate) -> map (..., nr, nphi)."""
+        Fre, Fim = self._legendre_synth_state(x, self.lam0)
         return self._ring_ifft_real(Fre, Fim)
 
-    def _analysis_core(self, maps, ring_w):
-        """map -> real-packed alm with per-ring weights ring_w."""
+    def synthesis(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """A on the reference ragged packing (interop wrapper; the hot path
+        is ``synthesis_state``)."""
+        return self.synthesis_state(
+            flat_to_state(flat.astype(self.dtype), self.lmax))
+
+    def _analysis_core_state(self, maps, ring_w):
+        """map -> grid-packed alm state with per-ring weights ring_w."""
         Gre, Gim = self._ring_fft_real(maps)
         Gre = Gre * ring_w[:, None]
         Gim = Gim * ring_w[:, None]
         if self._constrain_F is not None:
             Gre, Gim = self._constrain_F(Gre), self._constrain_F(Gim)
-        are, aim = self._ladj2(self.lam0, Gre, Gim)
-        return grid_to_flat(are, aim, self.lmax)
+        a2 = self._ladj_stack(self.lam0, jnp.stack([Gre, Gim], axis=-3))
+        return self._grids_to_state(a2)
+
+    def analysis_state(self, maps: jnp.ndarray) -> jnp.ndarray:
+        """Exact inverse of synthesis_state on a quadrature grid."""
+        return self._analysis_core_state(maps, self.wq)
+
+    def adjoint_synthesis_state(self, maps: jnp.ndarray) -> jnp.ndarray:
+        """A^T: exact transpose of ``synthesis_state`` w.r.t. the plain
+        pixel and state dot products."""
+        return self._analysis_core_state(maps, jnp.ones_like(self.wq))
 
     def analysis(self, maps: jnp.ndarray) -> jnp.ndarray:
         """Exact inverse of synthesis on a quadrature grid (hp.map2alm role)."""
-        return self._analysis_core(maps, self.wq)
+        return state_to_flat(self.analysis_state(maps), self.lmax)
 
     def adjoint_synthesis(self, maps: jnp.ndarray) -> jnp.ndarray:
         """A^T: exact transpose of ``synthesis`` w.r.t. the plain (unweighted)
         pixel dot product and the real-packed alm dot product (the role of
         the reference's map2alm * Npix/(4 pi), reference: utils.py:79-111,
         but exact by construction)."""
-        return self._analysis_core(maps, jnp.ones_like(self.wq))
+        return state_to_flat(self.adjoint_synthesis_state(maps), self.lmax)
 
     # -- spin 2 ------------------------------------------------------------
 
@@ -231,15 +278,18 @@ class SHT:
         if self.lam_p2 is None:
             raise ValueError("SHT built without spin2=True")
 
-    def synthesis_spin2(self, e_flat: jnp.ndarray, b_flat: jnp.ndarray):
-        """(E, B) real-packed alm -> (Q, U) maps.
+    def synthesis_spin2_state(self, e_state: jnp.ndarray,
+                              b_state: jnp.ndarray):
+        """(E, B) grid-packed alm states -> (Q, U) maps.
 
         Convention: Q + iU = sum_lm a+_{lm} 2Y_lm with a+ = -(E + iB),
         a- = -(E - iB) (IAU/healpy CMB convention), negative m handled through
         the reality relations — all arithmetic stays real."""
         self._require_spin2()
-        ere, eim = flat_to_grid(e_flat.astype(self.dtype), self.lmax)
-        bre, bim = flat_to_grid(b_flat.astype(self.dtype), self.lmax)
+        eg = self._state_grids(e_state)
+        bg = self._state_grids(b_state)
+        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
+        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
         # a+ = -(E + iB), a- = -(E - iB)
         ap_re, ap_im = -(ere - bim), -(eim + bre)
         am_re, am_im = -(ere + bim), -(eim - bre)
@@ -271,6 +321,13 @@ class SHT:
         q = self._unfold_half(qc - qs, qc + qs)
         u = self._unfold_half(uc + us, uc - us)
         return q, u
+
+    def synthesis_spin2(self, e_flat: jnp.ndarray, b_flat: jnp.ndarray):
+        """(E, B) real-packed alm -> (Q, U) maps (interop wrapper; the hot
+        path is ``synthesis_spin2_state``)."""
+        return self.synthesis_spin2_state(
+            flat_to_state(e_flat.astype(self.dtype), self.lmax),
+            flat_to_state(b_flat.astype(self.dtype), self.lmax))
 
     def _analysis_spin2_core(self, q_maps, u_maps, ring_w):
         self._require_spin2()
@@ -310,17 +367,27 @@ class SHT:
         # E = -(a+ + a-)/2,  B = i (a+ - a-)/2
         e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
         b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
-        return (grid_to_flat(e_re, e_im, self.lmax),
-                grid_to_flat(b_re, b_im, self.lmax))
+        return (self._grids_to_state(jnp.stack([e_re, e_im], axis=-3)),
+                self._grids_to_state(jnp.stack([b_re, b_im], axis=-3)))
+
+    def analysis_spin2_state(self, q_maps, u_maps):
+        """Exact inverse: (Q, U) maps -> (E, B) grid-packed alm states."""
+        return self._analysis_spin2_core(q_maps, u_maps, self.wq)
+
+    def adjoint_synthesis_spin2_state(self, q_maps, u_maps):
+        """Exact transpose of synthesis_spin2_state w.r.t. plain dots."""
+        return self._analysis_spin2_core(q_maps, u_maps,
+                                         jnp.ones_like(self.wq))
 
     def analysis_spin2(self, q_maps, u_maps):
         """Exact inverse: (Q, U) maps -> (E, B) real-packed alm."""
-        return self._analysis_spin2_core(q_maps, u_maps, self.wq)
+        e, b = self.analysis_spin2_state(q_maps, u_maps)
+        return (state_to_flat(e, self.lmax), state_to_flat(b, self.lmax))
 
     def adjoint_synthesis_spin2(self, q_maps, u_maps):
         """Exact transpose of synthesis_spin2 w.r.t. plain dot products."""
-        return self._analysis_spin2_core(q_maps, u_maps,
-                                         jnp.ones_like(self.wq))
+        e, b = self.adjoint_synthesis_spin2_state(q_maps, u_maps)
+        return (state_to_flat(e, self.lmax), state_to_flat(b, self.lmax))
 
 
 class _CT:
@@ -416,7 +483,8 @@ register_arrays_pytree(
 register_arrays_pytree(
     SHT,
     array_fields=("lam0", "wq", "phase_cos", "phase_sin", "dft_cos",
-                  "dft_sin", "lam_p2", "lam_m2", "_ct"),
+                  "dft_sin", "lam_p2", "lam_m2", "_ct", "pack_in",
+                  "pack_out"),
     static_fields=("grid", "lmax", "dtype", "table_dtype", "fft_mode",
                    "has_phase", "nphi", "nphi_half", "nrings",
                    "_constrain_F"),

@@ -33,7 +33,9 @@ def bench(table_dtype):
     b = jax.random.normal(jax.random.PRNGKey(1), (BATCH, nflat(LMAX)),
                           dtype=jnp.float32)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=3)
     def roundtrip(sht, e, b, n):
         def body(carry, _):
             e_, b_ = carry
