@@ -89,7 +89,9 @@ def _build(cfg: RunConfig):
                                spin2=(cfg.spin >= 2))
         mask = (galactic_band_mask(nside, cfg.mask_band_deg)
                 if cfg.mask_band_deg > 0 else None)
-        from ..harmonics.spectra import variance_expansion, gauss_beam, almxfl
+        from ..harmonics.gridstate import (variance_expansion_state,
+                                           almxfl_state)
+        from ..harmonics.spectra import gauss_beam
         bl = (gauss_beam(np.radians(cfg.fwhm_deg), cfg.lmax, dtype=dtype)
               if cfg.fwhm_deg > 0 else jnp.ones(cfg.lmax + 1, dtype=dtype))
         noise = NoiseModel.white_healpix(cfg.noise_sigma2, sht.geo,
@@ -100,14 +102,14 @@ def _build(cfg: RunConfig):
         @jax.jit
         def _sim(sht, noise, bl, key):
             ks, kn = jax.random.split(key)
-            var = jax.vmap(lambda d: variance_expansion(
+            var = jax.vmap(lambda d: variance_expansion_state(
                 jnp.asarray(d, dtype), cfg.lmax))(jnp.asarray(fields, dtype))
             alm = jnp.sqrt(var) * jax.random.normal(ks, var.shape, dtype=dtype)
-            alm_b = almxfl(alm, bl, cfg.lmax)
+            alm_b = almxfl_state(alm, bl, cfg.lmax)
             if cfg.spin == 0:
-                sky = sht.synthesis(alm_b[0])[None]
+                sky = sht.synthesis_state(alm_b[0])[None]
             else:
-                q, u = sht.synthesis_spin2(alm_b[0], alm_b[1])
+                q, u = sht.synthesis_spin2_state(alm_b[0], alm_b[1])
                 sky = jnp.stack([q, u], axis=0)
             inv = noise.inv_noise
             std = jnp.where(inv > 0, 1.0 / jnp.sqrt(
@@ -145,9 +147,9 @@ def _build(cfg: RunConfig):
     d_alm = None
     if cfg.all_sph:
         if cfg.spin == 0:
-            d_alm = model.sht.analysis(model.d[0])[None]
+            d_alm = model.sht.analysis_state(model.d[0])[None]
         else:
-            e, b = model.sht.analysis_spin2(model.d[0], model.d[1])
+            e, b = model.sht.analysis_spin2_state(model.d[0], model.d[1])
             d_alm = jnp.stack([e, b])
     if cfg.scheme == "joint":
         if cfg.spin != 3:

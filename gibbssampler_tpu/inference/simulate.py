@@ -12,8 +12,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.packing import nflat
-from ..harmonics.spectra import variance_expansion, gauss_beam
+from ..harmonics.gridstate import (almxfl_state, nstate,
+                                   variance_expansion_state)
+from ..harmonics.spectra import gauss_beam
 from ..ops.noise import NoiseModel
 from ..ops.model import SkyModel
 from ..sht.transform import SHT, make_sht
@@ -50,13 +51,13 @@ def synfast(key, dl_fields, sht: SHT, spin: int):
     lmax = sht.lmax
     dl_fields = jnp.asarray(dl_fields, dtype=sht.dtype)
     nf = dl_fields.shape[0]
-    var = jax.vmap(lambda d: variance_expansion(d, lmax))(dl_fields)
-    alm = jnp.sqrt(var) * jax.random.normal(key, (nf, nflat(lmax)),
+    var = jax.vmap(lambda d: variance_expansion_state(d, lmax))(dl_fields)
+    alm = jnp.sqrt(var) * jax.random.normal(key, (nf, nstate(lmax)),
                                             dtype=sht.dtype)
     if spin == 0:
-        maps = sht.synthesis(alm[0])[None]
+        maps = sht.synthesis_state(alm[0])[None]
     else:
-        q, u = sht.synthesis_spin2(alm[0], alm[1])
+        q, u = sht.synthesis_spin2_state(alm[0], alm[1])
         maps = jnp.stack([q, u], axis=0)
     return alm, maps
 
@@ -67,20 +68,19 @@ def _simulate_core(sht, noise, bl, key, dl_fields, mask_arr):
     spin = {1: 0, 2: 2, 3: 3}[dl_fields.shape[0]]
     """One compiled unit for the whole simulation pipeline (eager op-by-op
     dispatch costs seconds per primitive through remote-compile backends)."""
-    from ..harmonics.spectra import almxfl
     ksky, knoise = jax.random.split(key)
-    var = jax.vmap(lambda dd: variance_expansion(dd, lmax))(dl_fields)
+    var = jax.vmap(lambda dd: variance_expansion_state(dd, lmax))(dl_fields)
     alm_true = jnp.sqrt(var) * jax.random.normal(
         ksky, var.shape, dtype=bl.dtype)
-    alm_beamed = almxfl(alm_true, bl, lmax)
+    alm_beamed = almxfl_state(alm_true, bl, lmax)
     if spin == 0:
-        sky = sht.synthesis(alm_beamed[0])[None]
+        sky = sht.synthesis_state(alm_beamed[0])[None]
     elif spin == 3:
-        t = sht.synthesis(alm_beamed[0])
-        q, u = sht.synthesis_spin2(alm_beamed[1], alm_beamed[2])
+        t = sht.synthesis_state(alm_beamed[0])
+        q, u = sht.synthesis_spin2_state(alm_beamed[1], alm_beamed[2])
         sky = jnp.stack([t, q, u], axis=0)
     else:
-        q, u = sht.synthesis_spin2(alm_beamed[0], alm_beamed[1])
+        q, u = sht.synthesis_spin2_state(alm_beamed[0], alm_beamed[1])
         sky = jnp.stack([q, u], axis=0)
     inv = noise.inv_noise
     std = jnp.where(inv > 0, 1.0 / jnp.sqrt(jnp.where(inv > 0, inv, 1.0)), 0.0)

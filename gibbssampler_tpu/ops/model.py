@@ -3,7 +3,8 @@
 ``SkyModel`` unifies temperature (spin-0, one field) and polarization
 (spin-2, E/B fields) behind one interface so every sampler is written once:
 
-- state ``s``    : (..., nfields, nflat) real-packed alm
+- state ``s``    : (..., nfields, nstate) grid-packed alm
+  (harmonics.gridstate; the gather-free TPU layout)
 - pixel data ``d``: (..., nfields, nrings, nphi) maps  (T, or Q/U)
 
 The reference implements the same operators per case through healpy + qcinv
@@ -21,8 +22,8 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..harmonics.packing import index_maps, nflat
-from ..harmonics.spectra import almxfl
+from ..harmonics.gridstate import (almxfl_state, ell_mask_state,
+                                   expand_cl_state, nstate)
 from ..sht.transform import SHT
 from ..utils.pytree import register_arrays_pytree
 from .noise import NoiseModel
@@ -55,8 +56,9 @@ class SkyModel:
         return {0: 1, 2: 2, 3: 3}[self.spin]
 
     @property
-    def nflat(self) -> int:
-        return nflat(self.lmax)
+    def nstate(self) -> int:
+        """State-vector length per field (grid packing, 2 (lmax+1)^2)."""
+        return nstate(self.lmax)
 
     @property
     def map_ndim(self) -> int:
@@ -71,38 +73,40 @@ class SkyModel:
         return jnp.stack(fields, axis=-(self.map_ndim + 1))
 
     def ell_mask(self, dtype=None) -> jnp.ndarray:
-        """(nflat,) 1 where l >= 2, 0 on the fixed monopole/dipole slots."""
+        """(nstate,) 1 on valid slots with l >= 2 (the monopole/dipole and
+        the layout's invalid slots are projected out everywhere)."""
         dtype = dtype or self.sht.dtype
-        return jnp.asarray(index_maps(self.lmax).ell_of >= 2).astype(dtype)
+        return jnp.asarray(ell_mask_state(self.lmax, lmin=2), dtype=dtype)
 
     # ---- primitive operators -------------------------------------------
 
     def beam(self, s: jnp.ndarray) -> jnp.ndarray:
         """B s (diagonal per-ell, identical for every field)."""
-        return almxfl(s, self.bl.astype(s.dtype), self.lmax)
+        return almxfl_state(s, self.bl.astype(s.dtype), self.lmax)
 
     def synthesis(self, s: jnp.ndarray) -> jnp.ndarray:
-        """A s: (..., nfields, nflat) -> (..., nfields, *pix)."""
+        """A s: (..., nfields, nstate) -> (..., nfields, *pix)."""
         if self.spin == 0:
-            return self._stack_fields([self.sht.synthesis(s[..., 0, :])])
+            return self._stack_fields([self.sht.synthesis_state(s[..., 0, :])])
         if self.spin == 3:
-            t = self.sht.synthesis(s[..., 0, :])
-            q, u = self.sht.synthesis_spin2(s[..., 1, :], s[..., 2, :])
+            t = self.sht.synthesis_state(s[..., 0, :])
+            q, u = self.sht.synthesis_spin2_state(s[..., 1, :], s[..., 2, :])
             return self._stack_fields([t, q, u])
-        q, u = self.sht.synthesis_spin2(s[..., 0, :], s[..., 1, :])
+        q, u = self.sht.synthesis_spin2_state(s[..., 0, :], s[..., 1, :])
         return self._stack_fields([q, u])
 
     def adjoint_synthesis(self, f: jnp.ndarray) -> jnp.ndarray:
-        """A^T f: (..., nfields, *pix) -> (..., nfields, nflat)."""
+        """A^T f: (..., nfields, *pix) -> (..., nfields, nstate)."""
         if self.spin == 0:
-            return self.sht.adjoint_synthesis(self._field(f, 0))[..., None, :]
+            return self.sht.adjoint_synthesis_state(
+                self._field(f, 0))[..., None, :]
         if self.spin == 3:
-            t = self.sht.adjoint_synthesis(self._field(f, 0))
-            e, b = self.sht.adjoint_synthesis_spin2(self._field(f, 1),
-                                                    self._field(f, 2))
+            t = self.sht.adjoint_synthesis_state(self._field(f, 0))
+            e, b = self.sht.adjoint_synthesis_spin2_state(self._field(f, 1),
+                                                          self._field(f, 2))
             return jnp.stack([t, e, b], axis=-2)
-        e, b = self.sht.adjoint_synthesis_spin2(self._field(f, 0),
-                                                self._field(f, 1))
+        e, b = self.sht.adjoint_synthesis_spin2_state(self._field(f, 0),
+                                                      self._field(f, 1))
         return jnp.stack([e, b], axis=-2)
 
     def forward(self, s: jnp.ndarray) -> jnp.ndarray:
@@ -125,7 +129,7 @@ class SkyModel:
     def q_apply(self, s: jnp.ndarray, inv_cvar: jnp.ndarray) -> jnp.ndarray:
         """Q s = C^-1 s + B A^T N^-1 A B s.
 
-        inv_cvar: (..., nfields, nflat) inverse prior variance per slot
+        inv_cvar: (..., nfields, nstate) inverse prior variance per slot
         (zeros on l < 2 slots; those components are projected out)."""
         mask = self.ell_mask(s.dtype)
         s = s * mask
@@ -134,13 +138,12 @@ class SkyModel:
         return out * mask
 
     def harmonic_noise_diag(self) -> jnp.ndarray:
-        """(nfields, nflat) exact diagonal of B A^T N^-1 A B when the mask is
-        trivial (full sky): g_f * b_l^2 with g_f = tau_f / omega.  Used by
+        """(nfields, nstate) exact diagonal of B A^T N^-1 A B when the mask
+        is trivial (full sky): g_f * b_l^2 with g_f = tau_f / omega.  Used by
         the exact full-sky solves (reference: CenteredGibbs.py:108-132) and
         as the CG preconditioner / Langevin preconditioner on masked skies
-        (with an f_sky correction)."""
-        ell_of = index_maps(self.lmax).ell_of
-        bl2 = (self.bl.astype(self.sht.dtype) ** 2)[jnp.asarray(ell_of)]
+        (with an f_sky correction).  Invalid layout slots carry 0."""
+        bl2 = expand_cl_state(self.bl.astype(self.sht.dtype) ** 2, self.lmax)
         g = self.noise.tau_max / self.noise.omega
         return g[:, None] * bl2[None, :]
 

@@ -26,8 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.packing import index_maps
-from ..harmonics.spectra import alm2cl, bin_sum, unfold_bins, variance_expansion
+from ..harmonics.gridstate import (alm2cl_state, variance_expansion_state)
+from ..harmonics.spectra import bin_sum, unfold_bins
 from ..ops.model import SkyModel
 
 __all__ = [
@@ -50,7 +50,7 @@ def invgamma_dl(key, s_flat: jnp.ndarray, bins: np.ndarray, lmax: int):
     (reference: CenteredGibbs.py:24-48; alpha of a degenerate first bin is
     clamped to 1 as in the reference's alpha_bin0 := 1)."""
     dt = s_flat.dtype
-    cl_hat = alm2cl(s_flat, lmax)
+    cl_hat = alm2cl_state(s_flat, lmax)
     ell = jnp.arange(lmax + 1, dtype=dt)
     beta_l = (2.0 * ell + 1.0) * ell * (ell + 1.0) * cl_hat / (4.0 * jnp.pi)
     beta = bin_sum(beta_l, bins, lmax)
@@ -94,10 +94,12 @@ def truncnorm_logratio(x_old, x_new, sigma):
             - jax.scipy.special.log_ndtr(x_new / sigma))
 
 
-def _dl_tuple_to_var(dl_tuple, bins_list, lmax, nflat_, dtype):
-    """Per-field binned D_ell -> (nfields, nflat) prior variance."""
+def _dl_tuple_to_var(dl_tuple, bins_list, lmax, nstate_, dtype):
+    """Per-field binned D_ell -> (nfields, nstate) prior variance —
+    a broadcast over the grid-packed layout, no gather."""
     vars_ = [
-        variance_expansion(unfold_bins(dl.astype(dtype), bins, lmax), lmax)
+        variance_expansion_state(unfold_bins(dl.astype(dtype), bins, lmax),
+                                 lmax)
         for dl, bins in zip(dl_tuple, bins_list)
     ]
     return jnp.stack(vars_, axis=0)
@@ -122,7 +124,7 @@ def make_nc_log_likelihood(model: SkyModel, bins_list, all_sph: bool,
         g = model.noise.harmonic_white_level()  # (nfields,)
 
         def log_like(dl_tuple, s_nc):
-            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nflat,
+            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nstate,
                                    s_nc.dtype)
             s = jnp.sqrt(var) * s_nc
             resid = d_alm - model.beam(s)
@@ -130,7 +132,7 @@ def make_nc_log_likelihood(model: SkyModel, bins_list, all_sph: bool,
     else:
 
         def log_like(dl_tuple, s_nc):
-            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nflat,
+            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nstate,
                                    s_nc.dtype)
             s = jnp.sqrt(var) * s_nc
             resid = model.d - model.forward(s)
@@ -203,13 +205,13 @@ def invwishart_cls_sample(key, s: jnp.ndarray, lmax: int, lmin: int = 2):
     correlated-field generalization the reference prepared but never wired
     (invwishart import CenteredGibbs.py:7, 3x3 kernel
     variance_expension.pyx:36-61)."""
-    import jax as _jax
     k = s.shape[0]
     dt = s.dtype
-    ell_of = jnp.asarray(index_maps(lmax).ell_of)
-    # S[l, i, j] = sum_{slots of degree l} s_i s_j
-    outer = jnp.einsum("in,jn->nij", s, s)
-    S = _jax.ops.segment_sum(outer, ell_of, num_segments=lmax + 1)
+    L = lmax + 1
+    # S[l, i, j] = sum over valid slots of degree l of s_i s_j; in the
+    # grid-packed layout that is one einsum over the (part, m) axes
+    g = s.reshape(k, 2, L, L)
+    S = jnp.einsum("ipml,jpml->lij", g, g)
     nu = 2.0 * jnp.arange(lmax + 1, dtype=dt) + 1.0
 
     kchi, knorm = jax.random.split(key)

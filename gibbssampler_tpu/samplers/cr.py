@@ -23,7 +23,8 @@ jittable function (key, s_old, var_cls, ...) -> (s_new, info):
 - aux_then_mala_cr: composed aux-Gibbs sweep then MALA step
                     ("Composition !", reference: CenteredGibbs.py:833-836)
 
-State s and var_cls are (nfields, nflat); all functions vmap over leading
+State s and var_cls are (nfields, nstate) grid-packed vectors
+(harmonics.gridstate); all functions vmap over leading
 chain axes at the scheme level.  Slots with var_cls = 0 (monopole/dipole and
 any pinned multipoles) stay exactly 0.
 """
@@ -149,7 +150,7 @@ def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
     """Shared pieces: the pixel gap operator (mu - N^-1) and the harmonic
     posterior variance Sigma = (C^-1 + mu_bar/omega b_l^2)^-1."""
-    from ..harmonics.packing import index_maps
+    from ..harmonics.gridstate import expand_cl_state
     noise = model.noise
     dt = var_cls.dtype
     mu_bar = noise.tau_max.astype(dt) + eps          # (nfields,)
@@ -157,8 +158,7 @@ def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
                           - noise.tau)).astype(dt)   # (nfields, *pix)
     gap = jnp.maximum(gap, 0.0)
     inv_cvar = _safe_inv(var_cls)
-    ell_of = jnp.asarray(index_maps(model.lmax).ell_of)
-    bl2 = (model.bl.astype(dt) ** 2)[ell_of]
+    bl2 = expand_cl_state(model.bl.astype(dt) ** 2, model.lmax)
     hdiag = (mu_bar[:, None] / noise.omega) * bl2[None, :]
     sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
     return gap, sigma

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.packing import index_maps, nflat
+from ..harmonics.gridstate import ell_mask_state, nstate, state_masks
 from .cr import CRInfo
 
 __all__ = ["expand_cl_blocks", "exact_joint_cr", "synfast_joint",
@@ -30,9 +30,13 @@ __all__ = ["expand_cl_blocks", "exact_joint_cr", "synfast_joint",
 
 
 def expand_cl_blocks(cl_blocks: jnp.ndarray, lmax: int) -> jnp.ndarray:
-    """(lmax+1, k, k) C_ell blocks -> (nflat, k, k) per-slot covariance."""
-    ell_of = jnp.asarray(index_maps(lmax).ell_of)
-    return cl_blocks[..., ell_of, :, :]
+    """(lmax+1, k, k) C_ell blocks -> (nstate, k, k) per-slot covariance
+    (broadcast over the grid-packed layout; invalid slots get zero)."""
+    L = lmax + 1
+    k = cl_blocks.shape[-1]
+    valid = jnp.asarray(state_masks(lmax).valid, dtype=cl_blocks.dtype)
+    out = cl_blocks[None, None, :, :, :] * valid[..., None, None]
+    return out.reshape(2 * L * L, k, k)
 
 
 def blocks_to_dl(cl_blocks: jnp.ndarray, lmax: int) -> jnp.ndarray:
@@ -66,7 +70,7 @@ def exact_joint_cr(key, model, cl_blocks, bt_ninv_d):
 
     model : SkyModel with spin="tqu" (k = 3) or spin=2 (k = 2, correlated E/B)
     cl_blocks : (lmax+1, k, k) prior C_ell covariance blocks (zero below l=2)
-    bt_ninv_d : (k, nflat) data term B A^T N^-1 d
+    bt_ninv_d : (k, nstate) data term B A^T N^-1 d
 
     Per real-packed slot i the posterior over the k-vector s_i is
     N(P^-1 b_i, P^-1) with P = C_ell(i)^-1 + diag_f(g_f b_l(i)^2)
@@ -75,29 +79,27 @@ def exact_joint_cr(key, model, cl_blocks, bt_ninv_d):
     lmax = model.lmax
     k = bt_ninv_d.shape[0]
     dt = bt_ninv_d.dtype
-    cov = expand_cl_blocks(cl_blocks.astype(dt), lmax)        # (nflat, k, k)
-    ell_of = np.asarray(index_maps(lmax).ell_of)
-    active = jnp.asarray((ell_of >= 2)).astype(dt)
+    cov = expand_cl_blocks(cl_blocks.astype(dt), lmax)        # (nstate, k, k)
+    active = jnp.asarray(ell_mask_state(lmax, lmin=2), dtype=dt)
     eye = jnp.eye(k, dtype=dt)
     cov_safe = jnp.where(active[:, None, None] > 0, cov, eye)
     cinv = jnp.linalg.inv(cov_safe)
     hdiag = model.harmonic_noise_diag().astype(dt)            # (k, nflat)
     P = cinv + jax.vmap(jnp.diag, in_axes=1)(hdiag)
-    x = _slot_chol_sample(key, P, bt_ninv_d.T, active)        # (nflat, k)
+    x = _slot_chol_sample(key, P, bt_ninv_d.T, active)        # (nstate, k)
     s = x.T
     return s, CRInfo(accept=jnp.ones((), dt), extra=jnp.zeros((), dt))
 
 
 def synfast_joint(key, cl_blocks, lmax: int, dtype=jnp.float32):
     """Draw correlated real-packed alm fields from C_ell blocks:
-    s_i = L_ell(i) xi with L the Cholesky factor (k, nflat)."""
+    s_i = L_ell(i) xi with L the Cholesky factor (k, nstate)."""
     cl_blocks = jnp.asarray(cl_blocks, dtype=dtype)
     k = cl_blocks.shape[-1]
-    ell_of = np.asarray(index_maps(lmax).ell_of)
-    active = jnp.asarray((ell_of >= 2)).astype(dtype)
+    active = jnp.asarray(ell_mask_state(lmax, lmin=2), dtype=dtype)
     cov = expand_cl_blocks(cl_blocks, lmax)
     eye = jnp.eye(k, dtype=dtype)
     L = jnp.linalg.cholesky(jnp.where(active[:, None, None] > 0, cov, eye))
-    xi = jax.random.normal(key, (nflat(lmax), k, 1), dtype=dtype)
+    xi = jax.random.normal(key, (nstate(lmax), k, 1), dtype=dtype)
     s = (L @ xi)[..., 0] * active[:, None]
     return s.T

@@ -20,7 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.spectra import unfold_bins, variance_expansion
+from ..harmonics.gridstate import (expand_cl_state,
+                                   variance_expansion_state)
+from ..harmonics.spectra import unfold_bins
 from ..ops.model import SkyModel
 from ..samplers import cr as cr_mod
 from ..samplers import cls_samplers as cls_mod
@@ -40,7 +42,7 @@ __all__ = ["GibbsState", "GibbsScheme", "CenteredGibbs", "NonCenteredGibbs",
 
 
 class GibbsState(NamedTuple):
-    s: jnp.ndarray        # (nfields, nflat) — centered or non-centered map
+    s: jnp.ndarray        # (nfields, nstate) — centered or non-centered map
     dl: tuple             # per-field (nbins_f,) binned D_ell
 
 
@@ -116,9 +118,9 @@ class GibbsScheme:
     # -- helpers ---------------------------------------------------------
 
     def var_cls(self, dl_tuple):
-        """(nfields, nflat) prior variance from per-field binned D_ell."""
+        """(nfields, nstate) prior variance from per-field binned D_ell."""
         dt = self.model.sht.dtype
-        vars_ = [variance_expansion(
+        vars_ = [variance_expansion_state(
             unfold_bins(dl.astype(dt), bins, self.lmax), self.lmax)
             for dl, bins in zip(dl_tuple, self.bins_list)]
         return jnp.stack(vars_, axis=0)
@@ -129,7 +131,7 @@ class GibbsScheme:
         dl0 = tuple(jnp.asarray(d, dtype=self.model.sht.dtype)
                     for d in dl_init_tuple)
         s, _ = self._cr_step(key, jnp.zeros(
-            (self.model.nfields, self.model.nflat),
+            (self.model.nfields, self.model.nstate),
             dtype=self.model.sht.dtype), self.var_cls(dl0))
         return GibbsState(s=s, dl=dl0)
 
@@ -321,10 +323,11 @@ class PNCPGibbs(GibbsScheme):
         self.all_sph = all_sph
 
     def _var_high(self, dl_tuple, dtype):
-        """Prior variance with 1 on l < l_cut slots (identity re-centering)."""
-        from ..harmonics.packing import index_maps
+        """Prior variance with 1 on valid l < l_cut slots (identity
+        re-centering; invalid layout slots keep variance 0)."""
         var = self.var_cls(dl_tuple).astype(dtype)
-        low = jnp.asarray(index_maps(self.lmax).ell_of < self.l_cut)
+        ell_low = (jnp.arange(self.lmax + 1) < self.l_cut).astype(dtype)
+        low = expand_cl_state(ell_low, self.lmax) > 0
         return jnp.where(low[None, :], 1.0, var)
 
     def step(self, key, state: GibbsState):

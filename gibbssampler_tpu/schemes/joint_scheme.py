@@ -24,7 +24,7 @@ __all__ = ["JointState", "JointCenteredGibbs"]
 
 
 class JointState(NamedTuple):
-    s: jnp.ndarray           # (k, nflat)
+    s: jnp.ndarray           # (k, nstate)
     cl: jnp.ndarray          # (lmax+1, k, k) C_ell blocks
 
 

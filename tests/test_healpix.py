@@ -130,14 +130,14 @@ def test_gibbs_on_healpix_grid():
     from gibbssampler_tpu.inference import example_dl
     from gibbssampler_tpu.ops import NoiseModel, SkyModel
     from gibbssampler_tpu.schemes import CenteredGibbs
-    from gibbssampler_tpu.harmonics import variance_expansion
+    from gibbssampler_tpu.harmonics import variance_expansion_state, nstate
 
     sht = make_healpix_sht(NSIDE, LMAX, dtype=jnp.float64, spin2=False)
     dl = example_dl(LMAX, amp=10.0)
-    var = variance_expansion(jnp.asarray(dl), LMAX)
+    var = variance_expansion_state(jnp.asarray(dl), LMAX)
     key = jax.random.PRNGKey(5)
-    s_true = jnp.sqrt(var) * jax.random.normal(key, (nflat(LMAX),))
-    sky = sht.synthesis(s_true)[None]            # (1, npix)
+    s_true = jnp.sqrt(var) * jax.random.normal(key, (nstate(LMAX),))
+    sky = sht.synthesis_state(s_true)[None]      # (1, npix)
     sigma2 = 1.0
     noise = NoiseModel.white_healpix(sigma2, sht.geo, nfields=1,
                                      dtype=jnp.float64)
@@ -158,18 +158,18 @@ def test_healpix_aux_gibbs_runs():
     from gibbssampler_tpu.inference import example_dl
     from gibbssampler_tpu.ops import NoiseModel, SkyModel
     from gibbssampler_tpu.samplers import aux_gibbs_cr
-    from gibbssampler_tpu.harmonics import variance_expansion
+    from gibbssampler_tpu.harmonics import variance_expansion_state, nstate
 
     sht = make_healpix_sht(NSIDE, LMAX, dtype=jnp.float64, spin2=False)
     dl = example_dl(LMAX, amp=10.0)
-    var = variance_expansion(jnp.asarray(dl), LMAX)[None]
+    var = variance_expansion_state(jnp.asarray(dl), LMAX)[None]
     noise = NoiseModel.white_healpix(1.0, sht.geo, nfields=1,
                                      dtype=jnp.float64)
     d = jax.random.normal(jax.random.PRNGKey(8), (1, sht.geo.npix))
     model = SkyModel(sht=sht, noise=noise, bl=jnp.ones(LMAX + 1),
                      spin=0, d=d)
     bt = model.bt_ninv_d()
-    s0 = jnp.zeros((1, nflat(LMAX)))
+    s0 = jnp.zeros((1, nstate(LMAX)))
     s1, info = aux_gibbs_cr(jax.random.PRNGKey(9), model, var, bt, s0,
                             n_gibbs=2)
     assert np.isfinite(np.asarray(s1)).all()

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gibbssampler_tpu.harmonics import nflat, alm2cl, index_maps
+from gibbssampler_tpu.harmonics import alm2cl_state, ell_mask_state, state_masks
 from gibbssampler_tpu.ops import NoiseModel, SkyModel
 from gibbssampler_tpu.samplers import (
     exact_joint_cr, synfast_joint, invwishart_cls_sample,
@@ -57,8 +57,8 @@ def test_synfast_joint_covariance():
     draws = jax.vmap(lambda k: synfast_joint(k, C, LMAX,
                                              dtype=jnp.float64))(keys)
     # cross spectra via alm2cl on the stacked fields
-    tt = np.asarray(jax.vmap(lambda s: alm2cl(s[0], LMAX))(draws)).mean(0)
-    te = np.asarray(jax.vmap(lambda s: alm2cl(s[0], LMAX,
+    tt = np.asarray(jax.vmap(lambda s: alm2cl_state(s[0], LMAX))(draws)).mean(0)
+    te = np.asarray(jax.vmap(lambda s: alm2cl_state(s[0], LMAX,
                                               s[1]))(draws)).mean(0)
     np.testing.assert_allclose(tt[2:], C[2:, 0, 0], rtol=0.15)
     np.testing.assert_allclose(te[2:], C[2:, 0, 1], rtol=0.25)
@@ -75,11 +75,10 @@ def test_exact_joint_cr_moments():
     from gibbssampler_tpu.samplers.joint import expand_cl_blocks
     cov = np.asarray(expand_cl_blocks(jnp.asarray(C), LMAX))
     g = np.asarray(model.harmonic_noise_diag())
-    ell_of = np.asarray(index_maps(LMAX).ell_of)
+    active = ell_mask_state(LMAX, lmin=2) > 0
     bt_np = np.asarray(bt)
-    for slot in [4, 30, 77]:
-        if ell_of[slot] < 2:
-            continue
+    slots = np.where(active)[0]
+    for slot in [slots[2], slots[30], slots[77]]:
         P = np.linalg.inv(cov[slot]) + np.diag(g[:, slot])
         Sig = np.linalg.inv(P)
         mean = Sig @ bt_np[:, slot]
@@ -100,7 +99,10 @@ def test_invwishart_conjugacy():
     # scatter matrix per ell
     from gibbssampler_tpu.samplers.cls_samplers import invwishart_cls_sample as _
     l = 8
-    slots = np.where(np.asarray(index_maps(LMAX).ell_of) == l)[0]
+    L = LMAX + 1
+    ell_state = np.broadcast_to(np.arange(L), (2, L, L)).reshape(-1)
+    valid = state_masks(LMAX).valid.reshape(-1) > 0
+    slots = np.where((ell_state == l) & valid)[0]
     S = np.zeros((K, K))
     s_np = np.asarray(s)
     for i in slots:
@@ -120,8 +122,8 @@ def test_joint_gibbs_recovers_te_correlation():
     dl_chain = np.asarray(out["dl_chains"][0])   # (4, 400, lmax+1, 3, 3)
     post = dl_chain[:, 100:].mean(axis=(0, 1))
     # empirical spectra of the true sky
-    tt_hat = np.asarray(alm2cl(s_true[0], LMAX))
-    te_hat = np.asarray(alm2cl(s_true[0], LMAX, s_true[1]))
+    tt_hat = np.asarray(alm2cl_state(s_true[0], LMAX))
+    te_hat = np.asarray(alm2cl_state(s_true[0], LMAX, s_true[1]))
     fac = np.arange(LMAX + 1) * (np.arange(LMAX + 1) + 1.0) / (2 * np.pi)
     for l in range(4, LMAX + 1):
         # posterior mean of InvWishart(nu = 2l+1, S = (2l+1) hat-C):
@@ -131,5 +133,5 @@ def test_joint_gibbs_recovers_te_correlation():
                           rtol=0.4), l
         r_post = post[l, 0, 1] / np.sqrt(post[l, 0, 0] * post[l, 1, 1])
         r_hat = te_hat[l] / np.sqrt(
-            tt_hat[l] * np.asarray(alm2cl(s_true[1], LMAX))[l])
+            tt_hat[l] * np.asarray(alm2cl_state(s_true[1], LMAX))[l])
         assert abs(r_post - r_hat) < 0.45, (l, r_post, r_hat)

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gibbssampler_tpu.harmonics import nflat
+from gibbssampler_tpu.harmonics import nstate, ell_mask_state
 from gibbssampler_tpu.inference import example_dl, simulate_dataset
 from gibbssampler_tpu.samplers import whiten, recenter
 
@@ -14,12 +14,11 @@ def test_whiten_recenter_roundtrip():
     dl = (jnp.asarray(example_dl(lmax, amp=5.0))[2:],)
     bins = [np.arange(2, lmax + 2)]
     key = jax.random.PRNGKey(0)
-    s = jax.random.normal(key, (1, nflat(lmax)))
+    s = jax.random.normal(key, (1, nstate(lmax)))
     s_nc = whiten(s, dl, bins, lmax)
     back = recenter(s_nc, dl, bins, lmax)
-    # slots with positive variance roundtrip; l<2 slots are zeroed
-    from gibbssampler_tpu.harmonics import index_maps
-    act = np.asarray(index_maps(lmax).ell_of) >= 2
+    # slots with positive variance roundtrip; l<2 / invalid slots are zeroed
+    act = ell_mask_state(lmax, lmin=2) > 0
     np.testing.assert_allclose(np.asarray(back[0, act]),
                                np.asarray(s[0, act]), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(back[0, ~act]), 0.0)

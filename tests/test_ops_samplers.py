@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gibbssampler_tpu.harmonics import nflat, variance_expansion, unfold_bins
+from gibbssampler_tpu.harmonics import (nstate, variance_expansion_state,
+                                        unfold_bins)
 from gibbssampler_tpu.inference import example_dl, simulate_dataset
 from gibbssampler_tpu.ops import cg_solve
 from gibbssampler_tpu.samplers import (
@@ -16,7 +17,7 @@ from gibbssampler_tpu.samplers import (
 )
 
 LMAX = 8
-NF = nflat(LMAX)
+NF = nstate(LMAX)
 
 
 def make_model(spin=0, mask=None, sigma2=1.0, fwhm=0.0, seed=0):
@@ -30,7 +31,7 @@ def make_model(spin=0, mask=None, sigma2=1.0, fwhm=0.0, seed=0):
 
 
 def var_cls_of(model, fields):
-    return jnp.stack([variance_expansion(jnp.asarray(f), LMAX)
+    return jnp.stack([variance_expansion_state(jnp.asarray(f), LMAX)
                       for f in fields])
 
 

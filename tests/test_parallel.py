@@ -89,7 +89,7 @@ def test_adapt_segments_tunes_sigmas():
     bins = np.arange(2, lmax + 2)
     nb = len(bins) - 1
     blocks = [(i, min(i + 2, nb)) for i in range(0, nb, 2)]
-    d_alm = model.sht.analysis(model.d[0])[None]
+    d_alm = model.sht.analysis_state(model.d[0])[None]
 
     def make(sig):
         return NonCenteredGibbs(model, [bins], [blocks], sig, n_iter_mh=1,

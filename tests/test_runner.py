@@ -38,7 +38,7 @@ def test_run_experiment_and_resume(tmp_path):
     from gibbssampler_tpu.schemes import GibbsState
     import jax
     state = GibbsState(
-        s=jnp.zeros((2, 1, 169)),
+        s=jnp.zeros((2, 1, 338)),
         dl=(jnp.asarray(z10["dl_chain_0"][:, -1, :]),))
     save_checkpoint(out2 + ".ckpt.npz", jax.random.PRNGKey(9), state,
                     [z10["dl_chain_0"]], 10)

@@ -94,8 +94,9 @@ def _nc_setup(model):
     blocks = [(i, min(i + 2, nbins)) for i in range(0, nbins, 2)]
     # the non-centered conditional is noise-limited: Fisher width
     # sigma_D ~ 2 D sqrt(n_h / C) / sqrt(2l+1)
-    d_alm = model.sht.analysis(model.d[0])
-    shat = np.asarray(alm2cl(d_alm, LMAX))
+    d_alm = model.sht.analysis_state(model.d[0])
+    from gibbssampler_tpu.harmonics import alm2cl_state
+    shat = np.asarray(alm2cl_state(d_alm, LMAX))
     noise_h = 1.0 / float(model.noise.harmonic_white_level()[0])
     fac = np.asarray(dl_to_cl_factor(LMAX, jnp.float64))
     ell = np.arange(2, LMAX + 1)
