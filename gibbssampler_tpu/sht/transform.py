@@ -62,7 +62,7 @@ class SHT:
 
     def __init__(self, grid: SphereGrid, lmax: int, dtype=jnp.float32,
                  spin2: bool = False, fft_mode: str = "matmul",
-                 table_dtype=None):
+                 table_dtype=None, m_block: int = 128):
         self.grid = grid
         self.lmax = lmax
         self.dtype = jnp.dtype(dtype)
@@ -73,6 +73,7 @@ class SHT:
         # because both read the same tables)
         self.table_dtype = jnp.dtype(table_dtype) if table_dtype else self.dtype
         self.fft_mode = fft_mode
+        self.m_block = int(m_block)
         self._constrain_F = None
         L = lmax + 1
         if grid.nphi < 2 * lmax + 2:
@@ -80,8 +81,7 @@ class SHT:
                 f"grid nphi={grid.nphi} too small for lmax={lmax}; need >= {2*lmax+2}")
 
         x = np.cos(grid.theta)
-        self.lam0 = jnp.asarray(legendre_table(lmax, x),
-                                dtype=self.table_dtype)
+        self.lam0 = self._block_table(legendre_table(lmax, x))
         # quadrature weights including the 2 pi / nphi azimuthal factor
         self.wq = jnp.asarray(grid.weights * (2.0 * np.pi / grid.nphi),
                               dtype=self.dtype)
@@ -110,8 +110,8 @@ class SHT:
         self.lam_p2 = self.lam_m2 = None
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, grid.theta)
-            self.lam_p2 = jnp.asarray(lp, dtype=self.table_dtype)
-            self.lam_m2 = jnp.asarray(lm_, dtype=self.table_dtype)
+            self.lam_p2 = self._block_table(lp)
+            self.lam_m2 = self._block_table(lm_)
         # grid-packed state <-> true Re/Im grid diagonal scales (see
         # harmonics.gridstate): elementwise, fused into the Legendre casts
         sm = state_masks(lmax)
@@ -199,11 +199,37 @@ class SHT:
 
     # -- einsum cores (re/im stacked so each table is read once) -----------
 
+    def _msplit(self):
+        """m-block ranges for the wedge-aware Legendre contraction.
+
+        The Legendre tables are triangular (lambda_lm = 0 for l < m); a dense
+        (m, l) einsum spends ~half its MXU flops on those zeros.  Splitting
+        the m axis into blocks and contracting only l >= m0 per block removes
+        the zero quadrants with static slices (no gathers): ~37% fewer
+        Legendre flops at m_block=128, lmax=512."""
+        L = self.lmax + 1
+        blk = self.m_block
+        if not blk or blk >= L:
+            return [(0, L)]
+        edges = list(range(0, L, blk)) + [L]
+        return list(zip(edges[:-1], edges[1:]))
+
+    def _block_table(self, tab):
+        """Slice an (L, L, nr) fp64 table into per-m-block wedge slabs (on
+        device, table dtype); a 1-tuple holding the dense table if m_block=0."""
+        return tuple(
+            jnp.asarray(tab[m0:m1, m0:], dtype=self.table_dtype)
+            for m0, m1 in self._msplit())
+
     def _lsynth_stack(self, lam, g2):
         """(..., 2|2k, L, L) grids -> F (..., 2|2k, nr, L), one table read."""
-        F = jnp.einsum("mlr,...cml->...crm", lam, g2.astype(self.table_dtype),
-                       preferred_element_type=self.dtype).astype(self.dtype)
-        return F
+        gt = g2.astype(self.table_dtype)
+        outs = [
+            jnp.einsum("mlr,...cml->...crm", blk, gt[..., m0:m1, m0:],
+                       preferred_element_type=self.dtype)
+            for (m0, m1), blk in zip(self._msplit(), lam)]
+        F = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return F.astype(self.dtype)
 
     def _lsynth2(self, lam, re, im):
         """[re, im] (..., L, L) -> (Fre, Fim) (..., nr, L), one table read."""
@@ -212,9 +238,16 @@ class SHT:
 
     def _ladj_stack(self, lam, g):
         """(..., c, nr, L) ring grids -> (..., c, L, L) alm grids."""
-        return jnp.einsum("mlr,...crm->...cml", lam,
-                          g.astype(self.table_dtype),
-                          preferred_element_type=self.dtype).astype(self.dtype)
+        gt = g.astype(self.table_dtype)
+        outs = []
+        for (m0, m1), blk in zip(self._msplit(), lam):
+            a = jnp.einsum("mlr,...crm->...cml", blk, gt[..., m0:m1],
+                           preferred_element_type=self.dtype)
+            if m0:
+                a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(m0, 0)])
+            outs.append(a)
+        a = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
+        return a.astype(self.dtype)
 
     def _ladj2(self, lam, Gre, Gim):
         """(Gre, Gim) (..., nr, L) -> (are, aim) (..., L, L) grids."""
@@ -486,19 +519,21 @@ register_arrays_pytree(
                   "dft_sin", "lam_p2", "lam_m2", "_ct", "pack_in",
                   "pack_out"),
     static_fields=("grid", "lmax", "dtype", "table_dtype", "fft_mode",
-                   "has_phase", "nphi", "nphi_half", "nrings",
+                   "has_phase", "nphi", "nphi_half", "nrings", "m_block",
                    "_constrain_F"),
 )
 
 
 def make_sht(lmax: int, grid: SphereGrid | None = None, dtype=jnp.float32,
              spin2: bool = False, fft_mode: str = "matmul",
-             table_dtype=None) -> SHT:
+             table_dtype=None, m_block: int = 128) -> SHT:
     """Build an SHT for ``lmax`` (Gauss–Legendre grid by default).
 
     table_dtype=jnp.bfloat16 halves the HBM traffic of the operator tables
-    (the production fast path; tests validate fp32/fp64)."""
+    (the production fast path; tests validate fp32/fp64).  ``m_block``
+    controls the wedge-aware m-block split of the Legendre contractions
+    (0 disables)."""
     if grid is None:
         grid = gauss_legendre_grid(lmax)
     return SHT(grid, lmax, dtype=dtype, spin2=spin2, fft_mode=fft_mode,
-               table_dtype=table_dtype)
+               table_dtype=table_dtype, m_block=m_block)
