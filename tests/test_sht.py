@@ -213,3 +213,37 @@ def test_ct_mode_fallback_small():
     g = gauss_legendre_grid(8)
     s = SHT(g, 8, fft_mode="ct")
     assert s.fft_mode == "matmul"
+
+
+def test_ring_split_matches_dense():
+    """North/south ring-parity split (the half-table fast path, default on
+    symmetric grids) must agree with the dense contraction on every public
+    transform, for both even and odd ring counts (odd = self-paired
+    equator ring)."""
+    from gibbssampler_tpu.sht.transform import SHT
+
+    rng = np.random.default_rng(3)
+    for lmax, nrings in [(16, None), (16, 18), (33, None)]:
+        g = gauss_legendre_grid(lmax, nrings=nrings)
+        s0 = SHT(g, lmax, spin2=True, dtype=jnp.float64, ring_split=False)
+        s1 = SHT(g, lmax, spin2=True, dtype=jnp.float64, ring_split=True)
+        assert s1.ring_split
+        alm = jnp.asarray(rng.standard_normal((nflat(lmax),)))
+        m0, m1 = s0.synthesis(alm), s1.synthesis(alm)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(s1.adjoint_synthesis(m0)),
+                                   np.asarray(s0.adjoint_synthesis(m0)),
+                                   rtol=1e-11, atol=1e-11)
+        e = jnp.asarray(rng.standard_normal((nflat(lmax),)))
+        b = jnp.asarray(rng.standard_normal((nflat(lmax),)))
+        q0, u0 = s0.synthesis_spin2(e, b)
+        q1, u1 = s1.synthesis_spin2(e, b)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
+                                   rtol=1e-11, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                                   rtol=1e-11, atol=1e-11)
+        for x0, x1 in zip(s0.adjoint_synthesis_spin2(q0, u0),
+                          s1.adjoint_synthesis_spin2(q0, u0)):
+            np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                       rtol=1e-11, atol=1e-11)
