@@ -38,6 +38,8 @@ NCHAINS = int(os.environ.get("BENCH_NCHAINS", "64"))
 TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
 # azimuthal DFT mode: "matmul" (direct folded) or "ct" (mixed-radix factored)
 FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
+# north/south ring-parity split of the Legendre tables (1 = on)
+RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "1")))
 N_ITER = int(os.environ.get("BENCH_ITERS", "150"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 REF_SEC_PER_ITER = 3.0
@@ -68,7 +70,8 @@ def build():
         f"npix={grid.npix}")
     from gibbssampler_tpu.sht import make_sht
     sht = make_sht(LMAX, dtype=jnp.float32, spin2=True,
-                   table_dtype=jnp.dtype(TABLE_DTYPE), fft_mode=FFT_MODE)
+                   table_dtype=jnp.dtype(TABLE_DTYPE), fft_mode=FFT_MODE,
+                   ring_split=RING_SPLIT)
     model, _ = simulate_dataset(
         jax.random.PRNGKey(0), LMAX, spin=2,
         dl_fields=np.stack([dl_ee, dl_bb]),

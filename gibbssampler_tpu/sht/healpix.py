@@ -29,8 +29,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.gridstate import flat_to_state, state_masks, state_to_flat
+from ..harmonics.gridstate import flat_to_state, state_to_flat
 from ..utils.pytree import register_arrays_pytree
+from .lcore import LegendreCore
 from .legendre import legendre_table, spin2_lambda_tables
 
 __all__ = ["HealpixGeometry", "healpix_geometry", "HealpixSHT",
@@ -92,35 +93,35 @@ def healpix_geometry(nside: int) -> HealpixGeometry:
                            phi0=phi0, ring_start=ring_start)
 
 
-class HealpixSHT:
+class HealpixSHT(LegendreCore):
     """SHT on the HEALPix grid; same method surface as
     :class:`~gibbssampler_tpu.sht.transform.SHT` but maps are RING-ordered
-    pixel vectors (..., npix)."""
+    pixel vectors (..., npix).  The Legendre stage (wedge m-blocking +
+    north/south ring-parity split — the HEALPix ring layout is
+    equator-symmetric with a self-paired equator ring) is shared with the
+    GL transform via sht.lcore."""
 
     map_ndim = 1   # maps are flat (..., npix) RING-order vectors
 
     def __init__(self, nside: int, lmax: int, dtype=jnp.float32,
-                 spin2: bool = False):
+                 spin2: bool = False, table_dtype=None, m_block: int = 128,
+                 ring_split: bool = True):
         geo = healpix_geometry(nside)
         self.geo = geo
         self.grid = geo              # SkyModel uses .grid.npix etc.
         self.nside = nside
-        self.lmax = lmax
-        self.dtype = jnp.dtype(dtype)
+        self._init_core(lmax, geo.theta, dtype, table_dtype, m_block,
+                        ring_split)
         self._constrain_F = None
         L = lmax + 1
         ns = nside
 
         x = np.cos(geo.theta)
-        self.lam0 = jnp.asarray(legendre_table(lmax, x), dtype=self.dtype)
-        self.lam_p2 = self.lam_m2 = None
+        self.lam0 = self._block_table(legendre_table(lmax, x))
+        self.lam_p2 = self.lam_m2 = self.lam_w = self.lam_x = None
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, geo.theta)
-            self.lam_p2 = jnp.asarray(lp, dtype=self.dtype)
-            self.lam_m2 = jnp.asarray(lm_, dtype=self.dtype)
-        sm = state_masks(lmax)
-        self.pack_in = jnp.asarray(sm.in_scale, dtype=self.dtype)
-        self.pack_out = jnp.asarray(sm.out_scale, dtype=self.dtype)
+            self._build_spin2_tables(lp, lm_)
 
         # ring sections (indices into the nrings axis)
         self.ncap = ns - 1
@@ -258,25 +259,11 @@ class HealpixSHT:
         S = jnp.concatenate(Ss, axis=-2)
         return C, S
 
-    # ---- state <-> grid packing (free reshape, fused scale) -----------
-
-    def _state_grids(self, x):
-        L = self.lmax + 1
-        g = x.reshape(x.shape[:-1] + (2, L, L)).astype(self.dtype)
-        return g * self.pack_in
-
-    def _grids_to_state(self, g2):
-        L = self.lmax + 1
-        out = g2 * self.pack_out
-        return out.reshape(g2.shape[:-3] + (2 * L * L,))
-
     # ---- spin 0 -------------------------------------------------------
 
     def synthesis_state(self, x):
-        g2 = self._state_grids(x)
-        re, im = g2[..., 0, :, :], g2[..., 1, :, :]
-        Fre = jnp.einsum("mlr,...ml->...rm", self.lam0, re)
-        Fim = jnp.einsum("mlr,...ml->...rm", self.lam0, im)
+        F = self._lsynth_stack(self.lam0, self._state_grids(x))
+        Fre, Fim = F[..., 0, :, :], F[..., 1, :, :]
         if self._constrain_F is not None:
             Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
         cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
@@ -290,9 +277,8 @@ class HealpixSHT:
         C, S = self._cos_sin_adj(maps)
         # G_m = sum_j f e^{-im phi} = C - iS; real packing absorbs the cm
         # factor exactly as in the GL transform
-        are = jnp.einsum("mlr,...rm->...ml", self.lam0, C)
-        aim = jnp.einsum("mlr,...rm->...ml", self.lam0, -S)
-        return self._grids_to_state(jnp.stack([are, aim], axis=-3))
+        a2 = self._ladj_stack(self.lam0, jnp.stack([C, -S], axis=-3))
+        return self._grids_to_state(a2)
 
     def adjoint_synthesis(self, maps):
         return state_to_flat(self.adjoint_synthesis_state(maps), self.lmax)
@@ -308,21 +294,12 @@ class HealpixSHT:
     # ---- spin 2 -------------------------------------------------------
 
     def _require_spin2(self):
-        if self.lam_p2 is None:
+        if self.lam_p2 is None and self.lam_w is None:
             raise ValueError("HealpixSHT built without spin2=True")
 
     def synthesis_spin2_state(self, e_state, b_state):
         self._require_spin2()
-        eg = self._state_grids(e_state)
-        bg = self._state_grids(b_state)
-        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
-        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
-        ap_re, ap_im = -(ere - bim), -(eim + bre)
-        am_re, am_im = -(ere + bim), -(eim - bre)
-        Fp_re = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_re)
-        Fp_im = jnp.einsum("mlr,...ml->...rm", self.lam_p2, ap_im)
-        Fm_re = jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_re)
-        Fm_im = jnp.einsum("mlr,...ml->...rm", self.lam_m2, am_im)
+        Fp_re, Fp_im, Fm_re, Fm_im = self._spin2_F(e_state, b_state)
         pos = jnp.ones((self.lmax + 1,), self.dtype).at[0].set(0.0)
         Are = Fp_re + Fm_re * pos
         Aim = Fp_im + Fm_im * pos
@@ -345,14 +322,7 @@ class HealpixSHT:
         # C-_m = sum (Q + iU) e^{+im phi}: re = Cq - Su, im = Cu + Sq
         Cp_re, Cp_im = Cq + Su, Cu - Sq
         Cm_re, Cm_im = Cq - Su, Cu + Sq
-        ap_re = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp_re)
-        ap_im = jnp.einsum("mlr,...rm->...ml", self.lam_p2, Cp_im)
-        am_re = jnp.einsum("mlr,...rm->...ml", self.lam_m2, Cm_re)
-        am_im = jnp.einsum("mlr,...rm->...ml", self.lam_m2, -Cm_im)
-        e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
-        b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
-        return (self._grids_to_state(jnp.stack([e_re, e_im], axis=-3)),
-                self._grids_to_state(jnp.stack([b_re, b_im], axis=-3)))
+        return self._spin2_alm(Cp_re, Cp_im, Cm_re, Cm_im)
 
     def adjoint_synthesis_spin2(self, q_maps, u_maps):
         e, b = self.adjoint_synthesis_spin2_state(q_maps, u_maps)
@@ -369,11 +339,12 @@ class HealpixSHT:
 
 register_arrays_pytree(
     HealpixSHT,
-    array_fields=("lam0", "lam_p2", "lam_m2", "belt_cos", "belt_sin",
-                  "belt_rot_cos", "belt_rot_sin", "cap_cos", "cap_sin",
-                  "_pix_of", "_src_of", "_src_valid", "wq", "pack_in",
-                  "pack_out"),
-    static_fields=("geo", "grid", "nside", "lmax", "dtype", "_constrain_F",
+    array_fields=("lam0", "lam_p2", "lam_m2", "lam_w", "lam_x", "par_sign",
+                  "belt_cos", "belt_sin", "belt_rot_cos", "belt_rot_sin",
+                  "cap_cos", "cap_sin", "_pix_of", "_src_of", "_src_valid",
+                  "wq", "pack_in", "pack_out"),
+    static_fields=("geo", "grid", "nside", "lmax", "dtype", "table_dtype",
+                   "m_block", "ring_split", "nrh", "has_mid", "_constrain_F",
                    "ncap", "nbelt", "belt_sl", "capS_sl", "cap_wpad",
                    "_npadded", "pixel_area", "nrings"),
 )

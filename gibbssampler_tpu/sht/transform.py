@@ -40,37 +40,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.gridstate import flat_to_state, state_masks, state_to_flat
+from ..harmonics.gridstate import flat_to_state, state_to_flat
 from ..utils.pytree import register_arrays_pytree
 from .grids import SphereGrid, gauss_legendre_grid
+from .lcore import LegendreCore
 from .legendre import legendre_table, spin2_lambda_tables
 
 __all__ = ["SHT", "make_sht"]
 
 
-def _grid_symmetric(grid) -> bool:
-    """True when ring r mirrors ring nrings-1-r about the equator (the GL
-    grid always does); only theta symmetry matters — weights and phi0 enter
-    per-ring stages that commute with the split."""
-    th = np.asarray(grid.theta)
-    if th.shape[0] < 2:
-        return False
-    return bool(np.allclose(th + th[::-1], np.pi, atol=1e-10))
-
-
-def _interleave_l(aE, aO, oe, n):
-    """Merge even-l (offset ``oe``) and odd-l slabs back into a length-``n``
-    l axis via pad + stack + reshape (no scatter)."""
-    first, second = (aE, aO) if oe == 0 else (aO, aE)
-    nf = first.shape[-1]
-    if second.shape[-1] < nf:
-        second = jnp.pad(
-            second, [(0, 0)] * (second.ndim - 1) + [(0, nf - second.shape[-1])])
-    out = jnp.stack([first, second], axis=-1)
-    return out.reshape(out.shape[:-2] + (2 * nf,))[..., :n]
-
-
-class SHT:
+class SHT(LegendreCore):
     """Precomputed transform operators for one (grid, lmax, dtype).
 
     Holds the Legendre operator tensors and azimuthal DFT matrices on device
@@ -87,33 +66,21 @@ class SHT:
                  table_dtype=None, m_block: int = 128,
                  ring_split: bool = True):
         self.grid = grid
-        self.lmax = lmax
-        self.dtype = jnp.dtype(dtype)
         # operator tables may be stored lower-precision (bfloat16) with
         # float32 MXU accumulation: halves the HBM traffic of the
         # bandwidth-bound Legendre stage; ~4e-3 relative operator error,
         # statistically irrelevant for MCMC (A/A^T stay exact transposes
-        # because both read the same tables)
-        self.table_dtype = jnp.dtype(table_dtype) if table_dtype else self.dtype
+        # because both read the same tables).  _init_core also enables the
+        # north/south ring-parity split on this (symmetric) grid — see
+        # sht.lcore for the wedge/parity table layout.
+        self._init_core(lmax, grid.theta, dtype, table_dtype, m_block,
+                        ring_split)
         self.fft_mode = fft_mode
-        self.m_block = int(m_block)
         self._constrain_F = None
         L = lmax + 1
         if grid.nphi < 2 * lmax + 2:
             raise ValueError(
                 f"grid nphi={grid.nphi} too small for lmax={lmax}; need >= {2*lmax+2}")
-
-        # north/south ring-parity split: lambda_lm(pi - theta) =
-        # (-1)^{l+m} lambda_lm(theta) (verified against the fp64 tables), so
-        # on an equator-symmetric grid each Legendre contraction runs over
-        # half the rings with the l axis split by parity — half the table
-        # bytes streamed from HBM (the stage is bandwidth-bound) and, for
-        # spin 0, half the MXU flops.  The m-dependent (-1)^m factor is a
-        # cheap elementwise sign on the assembled ring-Fourier array.
-        self.ring_split = bool(ring_split) and _grid_symmetric(grid)
-        self.nrh = grid.nrings // 2
-        self.has_mid = bool(grid.nrings % 2)
-        self.par_sign = jnp.asarray((-1.0) ** np.arange(L), dtype=self.dtype)
 
         x = np.cos(grid.theta)
         self.lam0 = self._block_table(legendre_table(lmax, x))
@@ -145,22 +112,7 @@ class SHT:
         self.lam_p2 = self.lam_m2 = self.lam_w = self.lam_x = None
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, grid.theta)
-            if self.ring_split:
-                # under reflection the spin +/-2 tables swap:
-                # lam_p2(pi - theta) = (-1)^{l+m} lam_m2(theta).  Their
-                # half-sum W and half-difference X have *definite* parity
-                # (+/- (-1)^{l+m}), so both spin-2 contractions run on
-                # north-half tables like the spin-0 one.
-                self.lam_w = self._block_table((lp + lm_) * 0.5)
-                self.lam_x = self._block_table((lp - lm_) * 0.5)
-            else:
-                self.lam_p2 = self._block_table(lp)
-                self.lam_m2 = self._block_table(lm_)
-        # grid-packed state <-> true Re/Im grid diagonal scales (see
-        # harmonics.gridstate): elementwise, fused into the Legendre casts
-        sm = state_masks(lmax)
-        self.pack_in = jnp.asarray(sm.in_scale, dtype=self.dtype)
-        self.pack_out = jnp.asarray(sm.out_scale, dtype=self.dtype)
+            self._build_spin2_tables(lp, lm_)
 
     # -- shared azimuthal-stage helpers (all real arithmetic) -------------
 
@@ -223,158 +175,6 @@ class SHT:
             Gim = -jnp.matmul(v.astype(self.table_dtype), self.dft_sin.T,
                               preferred_element_type=self.dtype).astype(self.dtype)
         return self._rot(Gre, Gim, -1)
-
-    # -- state <-> grid packing (free reshape + fused diagonal scale) ------
-
-    def _state_grids(self, x):
-        """Grid-packed state (..., nstate) -> scaled (..., 2, L, L) grids —
-        a reshape plus a fused elementwise scale, replacing the flat
-        layout's gathers (the single largest cost of the old pipeline,
-        tools/stage_probe.py)."""
-        L = self.lmax + 1
-        g = x.reshape(x.shape[:-1] + (2, L, L)).astype(self.dtype)
-        return g * self.pack_in
-
-    def _grids_to_state(self, g2):
-        """Stacked (..., 2, L, L) true Re/Im grids -> grid-packed state."""
-        L = self.lmax + 1
-        out = g2 * self.pack_out
-        return out.reshape(g2.shape[:-3] + (2 * L * L,))
-
-    # -- einsum cores (re/im stacked so each table is read once) -----------
-
-    def _msplit(self):
-        """m-block ranges for the wedge-aware Legendre contraction.
-
-        The Legendre tables are triangular (lambda_lm = 0 for l < m); a dense
-        (m, l) einsum spends ~half its MXU flops on those zeros.  Splitting
-        the m axis into blocks and contracting only l >= m0 per block removes
-        the zero quadrants with static slices (no gathers): ~37% fewer
-        Legendre flops at m_block=128, lmax=512."""
-        L = self.lmax + 1
-        blk = self.m_block
-        if not blk or blk >= L:
-            return [(0, L)]
-        edges = list(range(0, L, blk)) + [L]
-        return list(zip(edges[:-1], edges[1:]))
-
-    def _block_table(self, tab):
-        """Slice an (L, L, nr) fp64 table into per-m-block wedge slabs (on
-        device, table dtype); a 1-tuple holding the dense table if m_block=0.
-
-        With ring_split, each slab is stored as a (lamE, lamO, lamM) triple:
-        even-l and odd-l wedge slabs over the *north-half* rings, plus the
-        self-paired equator ring row when nrings is odd."""
-        if not self.ring_split:
-            return tuple(
-                jnp.asarray(tab[m0:m1, m0:], dtype=self.table_dtype)
-                for m0, m1 in self._msplit())
-        nrh = self.nrh
-        out = []
-        for m0, m1 in self._msplit():
-            slab = tab[m0:m1, m0:, :]
-            oe = m0 % 2          # rel. l-index offset of even global l
-            lamE = jnp.asarray(slab[:, oe::2, :nrh], dtype=self.table_dtype)
-            lamO = jnp.asarray(slab[:, 1 - oe::2, :nrh],
-                               dtype=self.table_dtype)
-            lamM = (jnp.asarray(slab[:, :, nrh], dtype=self.dtype)
-                    if self.has_mid else None)
-            out.append((lamE, lamO, lamM))
-        return tuple(out)
-
-    def _lsynth_stack(self, lam, g2, flip=False):
-        """(..., 2|2k, L, L) grids -> F (..., 2|2k, nr, L), one table read.
-
-        ``flip`` selects the opposite reflection parity (the spin-2 X
-        table); only meaningful with ring_split."""
-        if self.ring_split:
-            return self._lsynth_stack_sym(lam, g2, flip)
-        gt = g2.astype(self.table_dtype)
-        outs = [
-            jnp.einsum("mlr,...cml->...crm", blk, gt[..., m0:m1, m0:],
-                       preferred_element_type=self.dtype)
-            for (m0, m1), blk in zip(self._msplit(), lam)]
-        F = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-        return F.astype(self.dtype)
-
-    def _lsynth_stack_sym(self, lam, g2, flip=False):
-        """Ring-parity synthesis: per block, contract even-l and odd-l wedge
-        slabs over north rings only; F_north = E + O and the mirrored
-        F_south = +/-(-1)^m (E - O) by the reflection parity of the table."""
-        gt = g2.astype(self.table_dtype)
-        sgn = -self.par_sign if flip else self.par_sign
-        Fn_parts, Fs_parts, mid_parts = [], [], []
-        for (m0, m1), (lamE, lamO, lamM) in zip(self._msplit(), lam):
-            gb = gt[..., m0:m1, m0:]
-            oe = m0 % 2
-            E = jnp.einsum("mlr,...cml->...crm", lamE, gb[..., oe::2],
-                           preferred_element_type=self.dtype)
-            O = jnp.einsum("mlr,...cml->...crm", lamO, gb[..., 1 - oe::2],
-                           preferred_element_type=self.dtype)
-            Fn_parts.append((E + O).astype(self.dtype))
-            Fs_parts.append(((E - O) * sgn[m0:m1]).astype(self.dtype))
-            if self.has_mid:
-                mid_parts.append(
-                    jnp.einsum("ml,...cml->...cm", lamM,
-                               gb.astype(self.dtype),
-                               preferred_element_type=self.dtype))
-        cat = lambda ps, ax: ps[0] if len(ps) == 1 else jnp.concatenate(ps, ax)
-        rows = [cat(Fn_parts, -1)]
-        if self.has_mid:
-            rows.append(cat(mid_parts, -1)[..., None, :])
-        rows.append(cat(Fs_parts, -1)[..., ::-1, :])
-        return jnp.concatenate(rows, axis=-2)
-
-    def _lsynth2(self, lam, re, im):
-        """[re, im] (..., L, L) -> (Fre, Fim) (..., nr, L), one table read."""
-        F = self._lsynth_stack(lam, jnp.stack([re, im], axis=-3))
-        return F[..., 0, :, :], F[..., 1, :, :]
-
-    def _ladj_stack(self, lam, g, flip=False):
-        """(..., c, nr, L) ring grids -> (..., c, L, L) alm grids."""
-        if self.ring_split:
-            return self._ladj_stack_sym(lam, g, flip)
-        gt = g.astype(self.table_dtype)
-        outs = []
-        for (m0, m1), blk in zip(self._msplit(), lam):
-            a = jnp.einsum("mlr,...crm->...cml", blk, gt[..., m0:m1],
-                           preferred_element_type=self.dtype)
-            if m0:
-                a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(m0, 0)])
-            outs.append(a)
-        a = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
-        return a.astype(self.dtype)
-
-    def _ladj_stack_sym(self, lam, g, flip=False):
-        """Transpose of _lsynth_stack_sym: fold the signed south-half rows
-        into the north half, then contract the parity wedge slabs."""
-        nrh = self.nrh
-        sgn = -self.par_sign if flip else self.par_sign
-        Gn = g[..., :nrh, :]
-        Gs = g[..., g.shape[-2] - nrh:, :][..., ::-1, :] * sgn
-        U = (Gn + Gs).astype(self.table_dtype)
-        V = (Gn - Gs).astype(self.table_dtype)
-        Gmid = g[..., nrh, :].astype(self.dtype) if self.has_mid else None
-        outs = []
-        for (m0, m1), (lamE, lamO, lamM) in zip(self._msplit(), lam):
-            aE = jnp.einsum("mlr,...crm->...cml", lamE, U[..., m0:m1],
-                            preferred_element_type=self.dtype)
-            aO = jnp.einsum("mlr,...crm->...cml", lamO, V[..., m0:m1],
-                            preferred_element_type=self.dtype)
-            a = _interleave_l(aE.astype(self.dtype), aO.astype(self.dtype),
-                              m0 % 2, self.lmax + 1 - m0)
-            if self.has_mid:
-                a = a + lamM * Gmid[..., m0:m1, None]
-            if m0:
-                a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(m0, 0)])
-            outs.append(a)
-        a = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
-        return a.astype(self.dtype)
-
-    def _ladj2(self, lam, Gre, Gim):
-        """(Gre, Gim) (..., nr, L) -> (are, aim) (..., L, L) grids."""
-        a = self._ladj_stack(lam, jnp.stack([Gre, Gim], axis=-3))
-        return a[..., 0, :, :], a[..., 1, :, :]
 
     # -- spin 0 ------------------------------------------------------------
 
@@ -441,30 +241,7 @@ class SHT:
         a- = -(E - iB) (IAU/healpy CMB convention), negative m handled through
         the reality relations — all arithmetic stays real."""
         self._require_spin2()
-        eg = self._state_grids(e_state)
-        bg = self._state_grids(b_state)
-        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
-        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
-        if self.ring_split:
-            # express lam_p2 = W + X, lam_m2 = W - X: two definite-parity
-            # half-ring contractions over the [Ere, Eim, Bre, Bim] stack,
-            # then cheap elementwise recombination into F+/F-
-            stack = jnp.stack([ere, eim, bre, bim], axis=-3)
-            FW = self._lsynth_stack(self.lam_w, stack)
-            FX = self._lsynth_stack(self.lam_x, stack, flip=True)
-            we, wei, wbr, wbi = (FW[..., i, :, :] for i in range(4))
-            xe, xei, xbr, xbi = (FX[..., i, :, :] for i in range(4))
-            # F+ = (W+X) . a+,  F- = (W-X) . a-,  a+/- = -(E +/- iB)
-            Fp_re = -(we + xe) + (wbi + xbi)
-            Fp_im = -(wei + xei) - (wbr + xbr)
-            Fm_re = -(we - xe) - (wbi - xbi)
-            Fm_im = -(wei - xei) + (wbr - xbr)
-        else:
-            # a+ = -(E + iB), a- = -(E - iB)
-            ap_re, ap_im = -(ere - bim), -(eim + bre)
-            am_re, am_im = -(ere + bim), -(eim - bre)
-            Fp_re, Fp_im = self._lsynth2(self.lam_p2, ap_re, ap_im)
-            Fm_re, Fm_im = self._lsynth2(self.lam_m2, am_re, am_im)
+        Fp_re, Fp_im, Fm_re, Fm_im = self._spin2_F(e_state, b_state)
         if self._constrain_F is not None:
             Fp_re, Fp_im = self._constrain_F(Fp_re), self._constrain_F(Fp_im)
             Fm_re, Fm_im = self._constrain_F(Fm_re), self._constrain_F(Fm_im)
@@ -532,28 +309,7 @@ class SHT:
             Cp_re, Cp_im = self._constrain_F(Cp_re), self._constrain_F(Cp_im)
             Cm_re, Cm_im = self._constrain_F(Cm_re), self._constrain_F(Cm_im)
         # a+_{lm} = sum_r w 2lam_lm C+ ; a-_{lm} = sum_r w -2lam_lm conj(C-)
-        if self.ring_split:
-            # W/X recombination (transpose of the synthesis identity):
-            # e = -(W.(Cp+Cm') + X.(Cp-Cm'))/2 etc., Cm' = conj(C-)
-            U1 = Cp_re + Cm_re
-            D1 = Cp_re - Cm_re
-            U2 = Cp_im - Cm_im
-            D2 = Cp_im + Cm_im
-            stack = jnp.stack([U1, U2, D1, D2], axis=-3)
-            AW = self._ladj_stack(self.lam_w, stack)
-            AX = self._ladj_stack(self.lam_x, stack, flip=True)
-            e_re = -0.5 * (AW[..., 0, :, :] + AX[..., 2, :, :])
-            e_im = -0.5 * (AW[..., 1, :, :] + AX[..., 3, :, :])
-            b_re = -0.5 * (AW[..., 3, :, :] + AX[..., 1, :, :])
-            b_im = 0.5 * (AW[..., 2, :, :] + AX[..., 0, :, :])
-        else:
-            ap_re, ap_im = self._ladj2(self.lam_p2, Cp_re, Cp_im)
-            am_re, am_im = self._ladj2(self.lam_m2, Cm_re, -Cm_im)
-            # E = -(a+ + a-)/2,  B = i (a+ - a-)/2
-            e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
-            b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
-        return (self._grids_to_state(jnp.stack([e_re, e_im], axis=-3)),
-                self._grids_to_state(jnp.stack([b_re, b_im], axis=-3)))
+        return self._spin2_alm(Cp_re, Cp_im, Cm_re, Cm_im)
 
     def analysis_spin2_state(self, q_maps, u_maps):
         """Exact inverse: (Q, U) maps -> (E, B) grid-packed alm states."""
