@@ -3,8 +3,8 @@
 The reference packs real alm into a ragged, m-major interleaved vector
 (reference: utils.py:49-76); that layout is cache-friendly on CPU but every
 conversion to the dense (m, l) grid the SHT needs is a large gather, and on
-TPU those gathers cost ~3x the transform's matmuls (measured in
-tools/stage_probe.py).  The framework therefore keeps sampler state in a
+TPU those gathers cost ~3x the transform's matmuls (measured on a v5
+chip).  The framework therefore keeps sampler state in a
 *rectangular* "grid-packed" layout whose conversion to the SHT's internal
 (part, m, l) grids is a free reshape:
 

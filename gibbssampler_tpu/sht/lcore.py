@@ -38,7 +38,7 @@ def grid_symmetric(theta) -> bool:
     th = np.asarray(theta)
     if th.shape[0] < 2:
         return False
-    return bool(np.allclose(th + th[::-1], np.pi, atol=1e-10))
+    return bool(np.allclose(th + th[::-1], np.pi, rtol=0, atol=1e-12))
 
 
 def _interleave_l(aE, aO, oe, n):
