@@ -33,6 +33,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 LMAX = int(os.environ.get("BENCH_LMAX", "512"))
 NCHAINS = int(os.environ.get("BENCH_NCHAINS", "64"))
+# data grid: "gl" (Gauss-Legendre quadrature grid) or "healpix" (the
+# reference's actual production grid, NSIDE = lmax/2; config.py:19-21)
+GRID = os.environ.get("BENCH_GRID", "gl")
 # bfloat16 tables are faster but cost an extra compile pass; the compile
 # tunnel has no persistent cache, so default to the proven fp32 path
 TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
@@ -56,22 +59,35 @@ def build():
     from gibbssampler_tpu.sht import gauss_legendre_grid
     from gibbssampler_tpu.schemes import CenteredGibbs
 
-    grid = gauss_legendre_grid(LMAX)
-    # analytic ~80% f_sky galactic cut (the reference's mask role,
-    # config.py:22-28)
-    theta = grid.theta
-    lat = np.abs(np.pi / 2 - theta)
-    ring_keep = (lat > 0.2).astype(np.float64)       # cut +-11.5 deg band
-    mask = np.broadcast_to(ring_keep[:, None], (grid.nrings, grid.nphi))
-
     dl_ee = example_dl(LMAX, "ee", amp=1000.0)
     dl_bb = example_dl(LMAX, "bb", amp=1000.0)
-    log(f"building dataset lmax={LMAX} grid={grid.nrings}x{grid.nphi} "
-        f"npix={grid.npix}")
-    from gibbssampler_tpu.sht import make_sht
-    sht = make_sht(LMAX, dtype=jnp.float32, spin2=True,
-                   table_dtype=jnp.dtype(TABLE_DTYPE), fft_mode=FFT_MODE,
-                   ring_split=RING_SPLIT)
+    if GRID == "healpix":
+        # the reference's production grid: HEALPix NSIDE = lmax/2
+        # (config.py:19-21), padded map layout (gather-free hot path)
+        from gibbssampler_tpu.sht.healpix import make_healpix_sht
+        from gibbssampler_tpu.sht.healpix_pix import galactic_band_mask
+        nside = LMAX // 2
+        sht = make_healpix_sht(nside, LMAX, dtype=jnp.float32, spin2=True,
+                               table_dtype=jnp.dtype(TABLE_DTYPE),
+                               ring_split=RING_SPLIT, layout="padded")
+        mask = galactic_band_mask(nside, 11.5)       # ~80% f_sky cut
+        log(f"building dataset lmax={LMAX} healpix nside={nside} "
+            f"npix={sht.geo.npix} npadded={sht.npadded}")
+        grid = None
+    else:
+        grid = gauss_legendre_grid(LMAX)
+        # analytic ~80% f_sky galactic cut (the reference's mask role,
+        # config.py:22-28)
+        theta = grid.theta
+        lat = np.abs(np.pi / 2 - theta)
+        ring_keep = (lat > 0.2).astype(np.float64)   # cut +-11.5 deg band
+        mask = np.broadcast_to(ring_keep[:, None], (grid.nrings, grid.nphi))
+        log(f"building dataset lmax={LMAX} grid={grid.nrings}x{grid.nphi} "
+            f"npix={grid.npix}")
+        from gibbssampler_tpu.sht import make_sht
+        sht = make_sht(LMAX, dtype=jnp.float32, spin2=True,
+                       table_dtype=jnp.dtype(TABLE_DTYPE), fft_mode=FFT_MODE,
+                       ring_split=RING_SPLIT)
     model, _ = simulate_dataset(
         jax.random.PRNGKey(0), LMAX, spin=2,
         dl_fields=np.stack([dl_ee, dl_bb]),
@@ -137,9 +153,9 @@ def main():
         f"single-process CPU baseline est {baseline:.5f} ESS/s")
     print(json.dumps({
         "metric": f"Cl-chain median pooled ESS/s, polarized masked Gibbs "
-                  f"(aux+MALA CR), lmax={LMAX}, {NCHAINS} chains on one "
-                  f"chip; vs_baseline = vs one single-chain CPU reference "
-                  f"process at ~{REF_SEC_PER_ITER:.0f}s/iter",
+                  f"(aux+MALA CR), lmax={LMAX}, grid={GRID}, {NCHAINS} "
+                  f"chains on one chip; vs_baseline = vs one single-chain "
+                  f"CPU reference process at ~{REF_SEC_PER_ITER:.0f}s/iter",
         "value": round(value, 3),
         "unit": "ESS/s",
         "vs_baseline": round(value / baseline, 1) if baseline > 0 else None,

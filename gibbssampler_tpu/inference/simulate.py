@@ -103,10 +103,18 @@ def simulate_dataset(key, lmax: int, spin: int, dl_fields,
     bl = gauss_beam(fwhm_radians, lmax, dtype=dtype) if fwhm_radians > 0 \
         else jnp.ones(lmax + 1, dtype=dtype)
     nf = {0: 1, 2: 2, 3: 3}[spin]
-    noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=nf, mask=mask,
-                             dtype=dtype)
     dl_fields = jnp.asarray(np.asarray(dl_fields), dtype=dtype)
     mask_arr = None if mask is None else jnp.asarray(mask, dtype=dtype)
+    from ..sht.healpix import HealpixSHT
+    if isinstance(sht, HealpixSHT):
+        # HEALPix (ring or padded layout): masks are given in RING order
+        noise = NoiseModel.white_healpix(noise_sigma2, sht.geo, nfields=nf,
+                                         mask=mask, dtype=dtype, sht=sht)
+        if mask_arr is not None and sht.layout == "padded":
+            mask_arr = sht.from_ring(mask_arr)
+    else:
+        noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=nf,
+                                 mask=mask, dtype=dtype)
     from ..utils.exec_cache import cached_call
     alm_true, sky, d = cached_call(_simulate_core, "sim", sht, noise, bl,
                                    key, dl_fields, mask_arr)

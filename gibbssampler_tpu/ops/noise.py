@@ -72,10 +72,23 @@ class NoiseModel:
 
     @classmethod
     def white_healpix(cls, sigma2, geo, nfields: int, mask=None,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, sht=None):
         """Uniform white noise on a HEALPix grid (flat npix maps, q = 1 —
-        exactly the reference's noise model, config.py:36-38)."""
+        exactly the reference's noise model, config.py:36-38).
+
+        If ``sht`` is a padded-layout HealpixSHT, the noise lives in the
+        padded section layout instead: q_map is the validity mask (0 on
+        padding slots, so inv_noise = 0 there and padding never contributes
+        to any noise-weighted operator), and ``mask`` is still given in RING
+        order and converted."""
         sigma2 = jnp.broadcast_to(jnp.asarray(sigma2, dtype=dtype), (nfields,))
+        if sht is not None and getattr(sht, "layout", "ring") == "padded":
+            valid = sht.valid.astype(dtype)
+            tau = jnp.broadcast_to(valid, (nfields, sht.npadded)) \
+                / sigma2[:, None]
+            if mask is not None:
+                tau = tau * sht.from_ring(jnp.asarray(mask, dtype=dtype))
+            return cls(tau=tau, q_map=valid, omega=float(geo.pixel_area))
         tau = jnp.ones((nfields, geo.npix), dtype=dtype) / sigma2[:, None]
         if mask is not None:
             tau = tau * jnp.asarray(mask, dtype=dtype)

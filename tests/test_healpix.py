@@ -201,3 +201,58 @@ def test_ud_grade_mask():
     ma = galactic_band_mask(16, 10.0, apodize_deg=5.0)
     assert (ma >= 0).all() and (ma <= 1).all()
     assert ((ma > 0) & (ma < 1)).any()
+
+
+@pytest.fixture(scope="module")
+def hsht_pad():
+    return make_healpix_sht(NSIDE, LMAX, dtype=jnp.float64, spin2=True,
+                            layout="padded")
+
+
+def test_padded_layout_matches_ring(hsht, hsht_pad):
+    """Padded-layout synthesis is the ring-layout synthesis up to the
+    to_ring gather; from_ring inverts to_ring on real pixels."""
+    key = jax.random.PRNGKey(11)
+    flat = jax.random.normal(key, (nflat(LMAX),))
+    m_ring = hsht.synthesis(flat)
+    m_pad = hsht_pad.synthesis(flat)
+    assert m_pad.shape == (hsht_pad.npadded,)
+    np.testing.assert_allclose(np.asarray(hsht_pad.to_ring(m_pad)),
+                               np.asarray(m_ring), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hsht_pad.from_ring(m_ring)),
+                               np.asarray(m_pad), atol=1e-12)
+    # synthesis output is exactly zero on padding slots (null space)
+    pad_slots = np.asarray(hsht_pad.valid) == 0.0
+    assert np.all(np.asarray(m_pad)[pad_slots] == 0.0)
+
+
+def test_padded_adjoint_matches_and_ignores_padding(hsht, hsht_pad):
+    key = jax.random.PRNGKey(12)
+    y = jax.random.normal(key, (hsht.geo.npix,))
+    a_ring = hsht.adjoint_synthesis(y)
+    y_pad = hsht_pad.from_ring(y)
+    a_pad = hsht_pad.adjoint_synthesis(y_pad)
+    np.testing.assert_allclose(np.asarray(a_pad), np.asarray(a_ring),
+                               atol=1e-12)
+    # garbage on padding slots must not change the adjoint (null space)
+    trash = jax.random.normal(jax.random.PRNGKey(13),
+                              y_pad.shape) * (1.0 - hsht_pad.valid)
+    a_trash = hsht_pad.adjoint_synthesis(y_pad + 100.0 * trash)
+    np.testing.assert_allclose(np.asarray(a_trash), np.asarray(a_ring),
+                               atol=1e-9)
+
+
+def test_padded_adjointness_spin2(hsht_pad):
+    key = jax.random.PRNGKey(14)
+    ke, kb, kq, ku = jax.random.split(key, 4)
+    mask = jnp.asarray(index_maps(LMAX).ell_of >= 2)
+    e = jax.random.normal(ke, (nflat(LMAX),)) * mask
+    b = jax.random.normal(kb, (nflat(LMAX),)) * mask
+    npad = hsht_pad.npadded
+    q = jax.random.normal(kq, (npad,)) * hsht_pad.valid
+    u = jax.random.normal(ku, (npad,)) * hsht_pad.valid
+    qs, us = hsht_pad.synthesis_spin2(e, b)
+    lhs = float(jnp.vdot(qs, q) + jnp.vdot(us, u))
+    ea, ba = hsht_pad.adjoint_synthesis_spin2(q, u)
+    rhs = float(jnp.vdot(e, ea) + jnp.vdot(b, ba))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
