@@ -158,38 +158,68 @@ def nc_cls_sample(key, dl_tuple, s_nc, log_like_fn, bins_list, blocks_list,
     Per sweep: propose every bin once (truncated normal), then accept/reject
     block-by-block, field-by-field, each decision using one likelihood
     evaluation (reference: NonCenteredGibbs.py:401-445).
-    """
+
+    Compiled as a ``lax.scan`` over a static (nblocks, nbins_total) one-hot
+    block table (sweeps are a second scan level), so compile size is one
+    block body regardless of n_iter x nblocks — the reference's production
+    configuration has tens of blocks and many sweeps (config.py:51-55,65-68)
+    and an unrolled trace would not fit a remote-compile budget."""
     nfields = len(dl_tuple)
     dt = dl_tuple[0].dtype
-    acc_totals = [jnp.zeros(len(blocks_list[f]), dt) for f in range(nfields)]
-    ll = log_like_fn(dl_tuple, s_nc)
-    dl = list(dl_tuple)
+    sizes = [int(d.shape[-1]) for d in dl_tuple]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    ntot = int(offs[-1])
+    rows = []
+    for f, blocks in enumerate(blocks_list):
+        for (lo, hi) in blocks:
+            r = np.zeros(ntot)
+            r[offs[f] + lo: offs[f] + hi] = 1.0
+            rows.append(r)
+    bmask = jnp.asarray(np.stack(rows), dtype=dt)      # (nblocks, ntot)
+    nblocks = bmask.shape[0]
+    sigma = jnp.concatenate([jnp.broadcast_to(jnp.asarray(p, dt), (n,))
+                             for p, n in zip(prop_sigma_list, sizes)])
 
-    for it in range(n_iter):
-        key, kp = jax.random.split(key)
-        pkeys = jax.random.split(kp, nfields)
-        props = [propose_truncnorm(pkeys[f], dl[f],
-                                   jnp.asarray(prop_sigma_list[f], dt))
-                 for f in range(nfields)]
-        for f in range(nfields):
-            for bi, (lo, hi) in enumerate(blocks_list[f]):
-                key, ka = jax.random.split(key)
-                cand_f = dl[f].at[lo:hi].set(props[f][lo:hi])
-                cand = tuple(cand_f if g == f else dl[g]
-                             for g in range(nfields))
-                ll_cand = log_like_fn(cand, s_nc)
-                sig = jnp.asarray(prop_sigma_list[f], dt)[lo:hi]
-                qcorr = jnp.sum(truncnorm_logratio(dl[f][lo:hi],
-                                                   props[f][lo:hi], sig))
-                log_ratio = ll_cand - ll + qcorr
-                u = jax.random.uniform(ka, dtype=dt)
-                acc = jnp.log(u) < log_ratio
-                dl[f] = jnp.where(acc, cand_f, dl[f])
-                ll = jnp.where(acc, ll_cand, ll)
-                acc_totals[f] = acc_totals[f].at[bi].add(acc.astype(dt))
+    def split_fields(dvec):
+        return tuple(dvec[..., offs[f]: offs[f + 1]] for f in range(nfields))
 
-    acc_means = tuple(a / n_iter for a in acc_totals)
-    return tuple(dl), NCClsInfo(accept=acc_means, log_like=ll)
+    dl0 = jnp.concatenate([d.astype(dt) for d in dl_tuple], axis=-1)
+    ll0 = log_like_fn(dl_tuple, s_nc)
+
+    def sweep(carry, k):
+        dl, ll = carry
+        kp, ka = jax.random.split(k)
+        # propose every bin once from the sweep-start value; each bin belongs
+        # to exactly one block, so the per-block proposal correction depends
+        # only on the sweep-start dl (bins of block b are untouched until
+        # block b's own accept decision)
+        props = propose_truncnorm(kp, dl, sigma)
+        lr_vec = truncnorm_logratio(dl, props, sigma)
+        akeys = jax.random.split(ka, nblocks)
+
+        def block_step(c, xs):
+            dl_c, ll_c = c
+            mask_b, kb = xs
+            cand = jnp.where(mask_b > 0, props, dl_c)
+            ll_cand = log_like_fn(split_fields(cand), s_nc)
+            qcorr = jnp.sum(mask_b * lr_vec)
+            acc = (jnp.log(jax.random.uniform(kb, dtype=dt))
+                   < ll_cand - ll_c + qcorr)
+            dl_c = jnp.where(acc, cand, dl_c)
+            ll_c = jnp.where(acc, ll_cand, ll_c)
+            return (dl_c, ll_c), acc.astype(dt)
+
+        (dl, ll), accs = jax.lax.scan(block_step, (dl, ll), (bmask, akeys))
+        return (dl, ll), accs
+
+    (dlf, ll), accs = jax.lax.scan(sweep, (dl0, ll0),
+                                   jax.random.split(key, n_iter))
+    acc_mean = jnp.mean(accs, axis=0)                  # (nblocks,)
+    out_acc, i0 = [], 0
+    for f, blocks in enumerate(blocks_list):
+        out_acc.append(acc_mean[i0: i0 + len(blocks)])
+        i0 += len(blocks)
+    return split_fields(dlf), NCClsInfo(accept=tuple(out_acc), log_like=ll)
 
 
 # ---------------------------------------------------------------------------
