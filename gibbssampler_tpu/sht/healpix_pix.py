@@ -2,9 +2,9 @@
 
 Host-side numpy implementations of the healpy pixel functions the reference
 uses for mask handling (hp.read_map + hp.ud_grade, reference:
-config.py:126-128, ConstrainedRealization.py:36).  FITS I/O is out of scope
-for this image (no astropy); masks load from .npy or are built analytically
-(inference.masks).  Formulas follow the HEALPix paper (Gorski et al. 2005);
+config.py:126-128, ConstrainedRealization.py:36).  Real mask files load via
+the pure-numpy FITS reader (inference.fits_io.read_healpix_map) and come
+through ud_grade below.  Formulas follow the HEALPix paper (Gorski et al. 2005);
 exactness is pinned by the test ang2pix(pix2ang(p)) == p for every pixel.
 """
 
