@@ -45,7 +45,32 @@ FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
 RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "1")))
 N_ITER = int(os.environ.get("BENCH_ITERS", "150"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
+# BENCH_BASELINE=1: run the same sampler as ONE chain on CPU and print the
+# measured sec/iter (the reference's unit of compute: one process of the
+# SLURM array, job-script.sh:6).  Results are committed to
+# BASELINE_MEASURED.json and picked up below.
+BASELINE_MODE = bool(int(os.environ.get("BENCH_BASELINE", "0")))
+
+# Reference-stack cost of one iteration for the vs_baseline ratio.
+# Estimate from the reference's own micro-bench: ~6 full-sky TQU SHTs per
+# iteration at ~0.5 s each on CPU (reference test.py:11-19) => 3.0 s.  If a
+# measured single-process CPU run of the *same* sampler exists
+# (BASELINE_MEASURED.json, produced by BENCH_BASELINE=1 on this machine),
+# use min(measured, estimate): the baseline is never allowed to be slower
+# than the reference's own reported numbers would imply.
 REF_SEC_PER_ITER = 3.0
+_bm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+if os.path.exists(_bm_path):
+    try:
+        with open(_bm_path) as _f:
+            _bm = json.load(_f)
+        if _bm.get("lmax") == LMAX and _bm.get("grid") == os.environ.get(
+                "BENCH_GRID", "gl"):
+            REF_SEC_PER_ITER = min(REF_SEC_PER_ITER,
+                                   float(_bm["cpu_sec_per_iter"]))
+    except (ValueError, KeyError):
+        pass
 
 
 def log(*a):
@@ -108,8 +133,42 @@ def build():
     return scheme, (dl_ee, dl_bb, bins)
 
 
+def baseline_main():
+    """Measure one CPU process (the reference's SLURM-array unit) running
+    the identical sampler: one chain, same masked polarized aux+MALA step.
+    Run with JAX_PLATFORMS=cpu.  Writes BASELINE_MEASURED.json."""
+    import platform
+    import jax
+    scheme, (dl_ee, dl_bb, bins) = build()
+    from gibbssampler_tpu.harmonics import bin_sum
+    import jax.numpy as jnp
+    counts = np.asarray(bin_sum(jnp.ones(LMAX + 1), bins, LMAX))
+    dl0 = tuple(np.asarray(bin_sum(jnp.asarray(d), bins, LMAX)) / counts
+                for d in (dl_ee, dl_bb))
+    n = max(2, N_ITER)
+    log(f"baseline: warmup (compile) {n} iters, 1 chain, cpu...")
+    out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=n, nchains=1)
+    jax.block_until_ready(out["dl_chains"])
+    t0 = time.time()
+    out = scheme.run(jax.random.PRNGKey(2), dl0, n_iter=n, nchains=1)
+    jax.block_until_ready(out["dl_chains"])
+    sec = (time.time() - t0) / n
+    rec = {"cpu_sec_per_iter": round(sec, 4), "lmax": LMAX,
+           "grid": GRID, "nchains": 1, "n_iter": n,
+           "machine": platform.processor() or platform.machine(),
+           "ncpu": os.cpu_count(),
+           "note": "same sampler (centered aux+MALA, masked pol) as the "
+                   "headline bench, one chain on this machine's CPU via "
+                   "XLA; stands in for one reference SLURM-array process"}
+    with open(_bm_path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
 def main():
     import jax
+    if BASELINE_MODE:
+        return baseline_main()
     scheme, (dl_ee, dl_bb, bins) = build()
     from gibbssampler_tpu.harmonics import bin_sum
     import jax.numpy as jnp

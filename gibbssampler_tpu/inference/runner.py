@@ -141,7 +141,14 @@ def _build(cfg: RunConfig):
                                 cfg.lmax))
     dl0 = tuple(np.asarray(bin_sum(jnp.asarray(f), b, cfg.lmax)) / counts
                 for f, b in zip(fields, bins_list))
-    sig = [np.maximum(np.abs(d0), 1e-6) * 0.3 for d0 in dl0]
+    # analytic noise-dominated proposal seed (the reference's heuristic,
+    # config.py:119-134), with the observed f_sky correction
+    from ..parallel.adapt import analytic_proposal_sigma
+    f_sky = np.asarray(model.noise.f_sky)
+    sig = [analytic_proposal_sigma(model.bl, cfg.noise_sigma2,
+                                   model.noise.omega, cfg.lmax, b,
+                                   f_sky=float(f_sky[min(f, len(f_sky) - 1)]))
+           for f, b in enumerate(bins_list)]
 
     kw = dict(cr_method=cfg.cr_method, cr_options=dict(cfg.cr_options))
     d_alm = None
@@ -237,6 +244,8 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
 
     durations = []
     accepts = []
+    cr_hist = []          # per-iteration CR acceptance (nchains, n_iter)
+    mh_hist = None        # per-field per-block MH acceptance histories
     while iters_done < cfg.n_iter:
         seg = min(cfg.segment, cfg.n_iter - iters_done)
         key, krun = jax.random.split(key)
@@ -249,6 +258,14 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
                       for f in range(len(dl0))]
         if "cr_accept" in out:
             accepts.append(np.asarray(out["cr_accept"]).mean())
+            cr_hist.append(np.moveaxis(np.asarray(out["cr_accept"]), 0, 1))
+        if "mh_accept" in out:
+            # per field: (n_iter, nchains, nblocks) -> (nchains, n_iter, nb)
+            seg_mh = [np.moveaxis(np.asarray(out["mh_accept"][f]), 0, 1)
+                      for f in range(len(out["mh_accept"]))]
+            mh_hist = (seg_mh if mh_hist is None else
+                       [np.concatenate([m, s], axis=1)
+                        for m, s in zip(mh_hist, seg_mh)])
         chains = (seg_chains if chains is None else
                   [np.concatenate([c, s], axis=1)
                    for c, s in zip(chains, seg_chains)])
@@ -266,6 +283,13 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
         "durations": np.asarray(durations),
         "cr_accepts": np.asarray(accepts),
     }
+    # full acceptance histories, saved with the chain like the reference's
+    # result dict (main_polarization.py:175-185)
+    if cr_hist:
+        results["cr_accept_chain"] = np.concatenate(cr_hist, axis=1)
+    if mh_hist is not None:
+        for f, m in enumerate(mh_hist):
+            results[f"mh_accept_{f}"] = m
     for f, c in enumerate(chains):
         results[f"dl_chain_{f}"] = c
         results[f"ess_{f}"] = summaries[f]["ess"]

@@ -98,3 +98,38 @@ def test_run_experiment_joint(tmp_path):
     z = np.load(out)
     assert z["dl_chain_0"].shape == (2, 20, 11, 3, 3)
     assert np.isfinite(z["dl_chain_0"]).all()
+
+
+def test_analytic_proposal_sigma_formula():
+    """Pins the closed-form heuristic against a direct per-ell computation
+    (reference: config.py:119-134)."""
+    from gibbssampler_tpu.parallel.adapt import analytic_proposal_sigma
+    lmax = 16
+    bl = np.exp(-0.001 * np.arange(lmax + 1) ** 2)
+    omega, n = 4 * np.pi / (12 * 64), 0.04
+    bins = np.array([2, 5, 9, 17])
+    sig = analytic_proposal_sigma(bl, n, omega, lmax, bins, f_sky=0.8)
+    for b, (lo, hi) in enumerate(zip(bins[:-1], bins[1:])):
+        acc = []
+        for l in range(lo, hi):
+            dnl = l * (l + 1) / (2 * np.pi) * omega * n / bl[l] ** 2
+            acc.append(2.0 / (2 * l + 1) * dnl ** 2 / 0.8)
+        expect = np.sqrt(np.mean(acc) / (hi - lo))
+        np.testing.assert_allclose(sig[b], expect, rtol=1e-12)
+
+
+def test_runner_saves_acceptance_histories(tmp_path):
+    """The results npz carries per-block MH and per-iteration CR acceptance
+    arrays, like the reference's result dict (main_polarization.py:175-185)."""
+    out = str(tmp_path / "acc.npz")
+    cfg = RunConfig(lmax=12, spin=0, scheme="asis", cr_method="exact",
+                    n_iter=20, nchains=2, segment=10, dtype="float64",
+                    out=out, all_sph=True, noise_sigma2=50.0, blocks_size=4)
+    run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    assert z["cr_accept_chain"].shape == (2, 20)
+    nblocks = -(-11 // 4)
+    assert z["mh_accept_0"].shape == (2, 20, nblocks)
+    a = z["mh_accept_0"]
+    assert ((a >= 0) & (a <= 1)).all()
+    assert a.mean() > 0.01      # something must get accepted
