@@ -41,6 +41,7 @@ def cg_solve(
     tol: float = 1e-6,
     maxiter: int = 4000,
     ndim_sys: int = 2,
+    precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ):
     """Solve operator(x) = b for SPD ``operator``.
 
@@ -52,12 +53,20 @@ def cg_solve(
          reference: CenteredGibbs.py:162-191)
     precond_diag : elementwise M^-1 (same shape as b broadcastable); the
          diag_cl-style preconditioner
+    precond : general SPD preconditioner callable M^-1 v (e.g. the
+         block-diagonal k x k preconditioner of the joint sampler);
+         overrides precond_diag
     tol : relative tolerance on ||r|| / ||b|| per batch element
     maxiter : iteration cap (reference budget: 4000)
     ndim_sys : how many trailing axes form one linear system
     """
     x = jnp.zeros_like(b) if x0 is None else x0
-    minv = (lambda v: v) if precond_diag is None else (lambda v: precond_diag * v)
+    if precond is not None:
+        minv = precond
+    elif precond_diag is not None:
+        minv = lambda v: precond_diag * v
+    else:
+        minv = lambda v: v
 
     r = b - operator(x)
     z = minv(r)

@@ -5,7 +5,8 @@ from .cr import (
     aux_then_mala_cr, pcn_cr, fluctuated_rhs, cr_precond, CRInfo,
 )
 from .joint import (
-    exact_joint_cr, synfast_joint, expand_cl_blocks, blocks_to_dl,
+    exact_joint_cr, cg_joint_cr, synfast_joint, expand_cl_blocks,
+    blocks_to_dl,
 )
 from .cls_samplers import (
     invgamma_dl, centered_cls_sample, propose_truncnorm, truncnorm_logratio,
@@ -19,5 +20,6 @@ __all__ = [
     "invgamma_dl", "centered_cls_sample", "propose_truncnorm",
     "truncnorm_logratio", "make_nc_log_likelihood", "nc_cls_sample",
     "invwishart_cls_sample", "whiten", "recenter", "NCClsInfo",
-    "exact_joint_cr", "synfast_joint", "expand_cl_blocks", "blocks_to_dl",
+    "exact_joint_cr", "cg_joint_cr", "synfast_joint", "expand_cl_blocks",
+    "blocks_to_dl",
 ]

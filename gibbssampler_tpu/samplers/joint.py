@@ -23,10 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from ..harmonics.gridstate import ell_mask_state, nstate, state_masks
+from ..ops.cg import cg_solve
 from .cr import CRInfo
 
-__all__ = ["expand_cl_blocks", "exact_joint_cr", "synfast_joint",
-           "blocks_to_dl"]
+__all__ = ["expand_cl_blocks", "exact_joint_cr", "cg_joint_cr",
+           "synfast_joint", "blocks_to_dl", "joint_block_ops"]
 
 
 def expand_cl_blocks(cl_blocks: jnp.ndarray, lmax: int) -> jnp.ndarray:
@@ -89,6 +90,73 @@ def exact_joint_cr(key, model, cl_blocks, bt_ninv_d):
     x = _slot_chol_sample(key, P, bt_ninv_d.T, active)        # (nstate, k)
     s = x.T
     return s, CRInfo(accept=jnp.ones((), dt), extra=jnp.zeros((), dt))
+
+
+def joint_block_ops(model, cl_blocks, fsky_scale: bool = True):
+    """Per-slot k x k operator bundle for the masked joint CR solve.
+
+    Returns (apply_cinv, apply_sqrt_cinv, apply_precond, active):
+    C^-1, a root M with M M^T = C^-1 (for the fluctuation RHS), and the
+    block-diagonal preconditioner (C^-1 + diag_f(f_sky g_f b_l^2))^-1 —
+    the k x k generalization of cr.cr_precond / qcinv's diag_cl.  All
+    applications are batched einsum matvecs over the nstate slots (the
+    factorizations happen once per solve, not per CG iteration)."""
+    lmax = model.lmax
+    dt = cl_blocks.dtype
+    k = cl_blocks.shape[-1]
+    cov = expand_cl_blocks(cl_blocks, lmax)                  # (n, k, k)
+    active = jnp.asarray(ell_mask_state(lmax, lmin=2), dtype=dt)
+    eye = jnp.eye(k, dtype=dt)
+    act3 = active[:, None, None] > 0
+    cinv = jnp.linalg.inv(jnp.where(act3, cov, eye))
+    cinv = jnp.where(act3, cinv, 0.0)
+    M = jnp.linalg.cholesky(jnp.where(act3, cinv, eye))
+    M = jnp.where(act3, M, 0.0)
+    hdiag = model.harmonic_noise_diag().astype(dt)           # (k, n)
+    if fsky_scale:
+        hdiag = hdiag * model.noise.f_sky[:, None].astype(dt)
+    P = cinv + hdiag.T[..., None] * eye                      # (n, k, k)
+    pinv = jnp.linalg.inv(jnp.where(act3, P, eye))
+    pinv = jnp.where(act3, pinv, 0.0)
+
+    def mv(blocks):
+        def apply_(x):                                       # x: (k, n)
+            return jnp.einsum("nij,jn->in", blocks, x)
+        return apply_
+
+    return mv(cinv), mv(M), mv(pinv), active
+
+
+def cg_joint_cr(key, model, cl_blocks, bt_ninv_d, tol=1e-6, maxiter=4000):
+    """Masked-sky joint CR draw via block-preconditioned CG:
+    Q s = C^-1 s + B A^T N^-1 A B s with per-slot k x k C — the joint
+    generalization of the reference's masked PCG step
+    (CenteredGibbs.py:448-491), which the reference never had.
+
+    Perturbation-optimization RHS: b = B A^T N^-1 d + M om0
+    + B A^T N^-1/2 om1 with M M^T = C^-1, so the exact solve is a draw from
+    N(Q^-1 b_mean, Q^-1)."""
+    dt = bt_ninv_d.dtype
+    apply_cinv, apply_sqrt_cinv, apply_pinv, active = joint_block_ops(
+        model, cl_blocks.astype(dt))
+    k0, k1 = jax.random.split(key)
+    om0 = jax.random.normal(k0, bt_ninv_d.shape, dtype=dt)
+    om1 = jax.random.normal(k1, model.noise.tau.shape, dtype=dt)
+    b = bt_ninv_d + apply_sqrt_cinv(om0)
+    b = b + model.project_data(jnp.sqrt(model.noise.inv_noise) * om1)
+    b = b * active
+
+    def q_apply(x):
+        x = x * active
+        out = apply_cinv(x) + model.project_data(
+            model.noise.inv_noise * model.forward(x))
+        return out * active
+
+    x, info = cg_solve(q_apply, b, x0=None, precond=apply_pinv,
+                       tol=tol, maxiter=maxiter, ndim_sys=2)
+    x = x * active
+    return x, CRInfo(accept=jnp.ones((), dt),
+                     extra=info.iterations.astype(dt))
 
 
 def synfast_joint(key, cl_blocks, lmax: int, dtype=jnp.float32):

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..samplers.joint import exact_joint_cr, blocks_to_dl
+from ..samplers.joint import exact_joint_cr, cg_joint_cr, blocks_to_dl
 from ..samplers.cls_samplers import invwishart_cls_sample
 from ..utils.pytree import register_arrays_pytree
 from .gibbs import _scan_scheme
@@ -29,24 +29,43 @@ class JointState(NamedTuple):
 
 
 class JointCenteredGibbs:
-    """Centered Gibbs over per-ell covariance blocks of k correlated fields."""
+    """Centered Gibbs over per-ell covariance blocks of k correlated fields.
 
-    def __init__(self, model, lmin: int = 2):
+    cr_method: "exact" (full-sky diagonal-in-slot solve) or "cg" (masked-sky
+    block-preconditioned CG — the joint generalization of the reference's
+    qcinv path, CenteredGibbs.py:448-491)."""
+
+    def __init__(self, model, lmin: int = 2, cr_method: str = "exact",
+                 cr_options: dict = ()):
         self.model = model
         self.lmin = lmin
         self.lmax = model.lmax
+        if cr_method not in ("exact", "cg"):
+            raise ValueError(f"joint cr_method must be exact|cg, got "
+                             f"{cr_method!r}")
+        self.cr_method = cr_method
+        self.cr_options = tuple(sorted(dict(cr_options).items())) \
+            if isinstance(cr_options, dict) else tuple(cr_options)
         from ..utils.exec_cache import cached_call
         from .gibbs import _BT_JIT
         self.bt_ninv_d = cached_call(_BT_JIT, "btninv", model)
 
+    def _cr(self, key, cl):
+        if self.cr_method == "cg":
+            opts = dict(self.cr_options)
+            return cg_joint_cr(key, self.model, cl, self.bt_ninv_d,
+                               tol=opts.get("cg_tol", 1e-6),
+                               maxiter=opts.get("cg_maxiter", 4000))
+        return exact_joint_cr(key, self.model, cl, self.bt_ninv_d)
+
     def init_state(self, key, cl_init) -> JointState:
         cl0 = jnp.asarray(cl_init, dtype=self.model.sht.dtype)
-        s, _ = exact_joint_cr(key, self.model, cl0, self.bt_ninv_d)
+        s, _ = self._cr(key, cl0)
         return JointState(s=s, cl=cl0)
 
     def step(self, key, state: JointState):
         k1, k2 = jax.random.split(key)
-        s, cr_info = exact_joint_cr(k1, self.model, state.cl, self.bt_ninv_d)
+        s, cr_info = self._cr(k1, state.cl)
         cl = invwishart_cls_sample(k2, s, self.lmax, lmin=self.lmin)
         info = {"dl": (blocks_to_dl(cl, self.lmax),),
                 "cr_accept": cr_info.accept}
@@ -77,4 +96,5 @@ class JointCenteredGibbs:
 
 register_arrays_pytree(JointCenteredGibbs,
                        array_fields=("model", "bt_ninv_d"),
-                       static_fields=("lmin", "lmax"))
+                       static_fields=("lmin", "lmax", "cr_method",
+                                      "cr_options"))
