@@ -127,3 +127,38 @@ def test_device_rhat_sharded():
     with mesh:
         r = jax.jit(split_rhat_device)(chains)
     assert np.all(np.asarray(r) < 1.2)
+
+
+@pytest.mark.parametrize("method,spin", [("cg", 2), ("rjpo", 2), ("cg", 3)])
+def test_m_sharded_cr_matches_unsharded(method, spin):
+    """cg / rjpo CR solves under m-sharding (n_m = 4, non-divisible lmax+1)
+    reproduce the single-device chains bit-for-bit (same keys)."""
+    lmax = 9                     # lmax+1 = 10, not divisible by 4
+    if spin == 2:
+        fields = np.stack([example_dl(lmax, "ee", amp=10.0),
+                           example_dl(lmax, "bb", amp=10.0)])
+    else:
+        fields = np.stack([example_dl(lmax, "tt", amp=10.0),
+                           example_dl(lmax, "ee", amp=10.0),
+                           example_dl(lmax, "bb", amp=10.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(5), lmax, spin=spin,
+                                dl_fields=fields, noise_sigma2=0.5,
+                                dtype=jnp.float64)
+    mesh = make_mesh(n_chains=2, n_m=4)
+    model_sh = SkyModel(sht=shard_sht(model.sht, mesh), noise=model.noise,
+                        bl=model.bl, spin=model.spin, d=model.d)
+    bins = np.arange(2, lmax + 2)
+    nf = model.nfields
+    opts = {"cg_tol": 1e-10, "cg_maxiter": 400}
+    dl0 = tuple(np.maximum(f[2:], 1e-6) for f in fields)
+    scheme_u = CenteredGibbs(model, [bins] * nf, cr_method=method,
+                             cr_options=opts)
+    scheme_s = CenteredGibbs(model_sh, [bins] * nf, cr_method=method,
+                             cr_options=opts)
+    out_u = scheme_u.run(jax.random.PRNGKey(6), dl0, n_iter=8, nchains=2)
+    out_s = sharded_run(scheme_s, jax.random.PRNGKey(6), dl0, n_iter=8,
+                        nchains=2, mesh=mesh)
+    for f in range(nf):
+        np.testing.assert_allclose(np.asarray(out_s["dl_chains"][f]),
+                                   np.asarray(out_u["dl_chains"][f]),
+                                   rtol=1e-7, atol=1e-10)
