@@ -42,7 +42,7 @@ TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
 # azimuthal DFT mode: "matmul" (direct folded) or "ct" (mixed-radix factored)
 FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
 # north/south ring-parity split of the Legendre tables (1 = on)
-RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "1")))
+RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "0")))
 N_ITER = int(os.environ.get("BENCH_ITERS", "150"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 # BENCH_BASELINE=1: run the same sampler as ONE chain on CPU and print the

@@ -152,7 +152,7 @@ class HealpixSHT(LegendreCore):
 
     def __init__(self, nside: int, lmax: int, dtype=jnp.float32,
                  spin2: bool = False, table_dtype=None, m_block: int = 128,
-                 ring_split: bool = True, layout: str = "ring"):
+                 ring_split: bool = False, layout: str = "ring"):
         if layout not in ("ring", "padded"):
             raise ValueError(f"layout must be 'ring' or 'padded', got {layout!r}")
         geo = healpix_geometry(nside)
@@ -506,7 +506,7 @@ register_arrays_pytree(
 def make_healpix_sht(nside: int, lmax: int | None = None,
                      dtype=jnp.float32, spin2: bool = False,
                      table_dtype=None, m_block: int = 128,
-                     ring_split: bool = True,
+                     ring_split: bool = False,
                      layout: str = "ring") -> HealpixSHT:
     """Build a HEALPix SHT; default lmax = 2 nside (the reference's choice,
     config.py:21).  ``layout="padded"`` keeps maps in the internal padded

@@ -64,7 +64,7 @@ class SHT(LegendreCore):
     def __init__(self, grid: SphereGrid, lmax: int, dtype=jnp.float32,
                  spin2: bool = False, fft_mode: str = "matmul",
                  table_dtype=None, m_block: int = 128,
-                 ring_split: bool = True):
+                 ring_split: bool = False):
         self.grid = grid
         # operator tables may be stored lower-precision (bfloat16) with
         # float32 MXU accumulation: halves the HBM traffic of the
@@ -435,7 +435,7 @@ register_arrays_pytree(
 def make_sht(lmax: int, grid: SphereGrid | None = None, dtype=jnp.float32,
              spin2: bool = False, fft_mode: str = "matmul",
              table_dtype=None, m_block: int = 128,
-             ring_split: bool = True) -> SHT:
+             ring_split: bool = False) -> SHT:
     """Build an SHT for ``lmax`` (Gauss–Legendre grid by default).
 
     table_dtype=jnp.bfloat16 halves the HBM traffic of the operator tables
@@ -443,7 +443,10 @@ def make_sht(lmax: int, grid: SphereGrid | None = None, dtype=jnp.float32,
     controls the wedge-aware m-block split of the Legendre contractions
     (0 disables).  ``ring_split`` enables the north/south parity split on
     equator-symmetric grids (half table memory; half Legendre flops at
-    spin 0)."""
+    spin 0) — OFF by default: on the target TPU backend the split graph
+    measured 134.5 vs 111.0 ms/iter on the production bench and its
+    compile pathologically stalls the remote-compile tunnel; the dense
+    layout is both faster end-to-end and robust to compile."""
     if grid is None:
         grid = gauss_legendre_grid(lmax)
     return SHT(grid, lmax, dtype=dtype, spin2=spin2, fft_mode=fft_mode,
