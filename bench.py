@@ -43,7 +43,13 @@ TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
 FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
 # north/south ring-parity split of the Legendre tables (1 = on)
 RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "0")))
-N_ITER = int(os.environ.get("BENCH_ITERS", "150"))
+# sampling scheme: "centered" (aux+MALA CR) or "asis" — the reference's
+# flagship ASIS run: overrelaxed aux CR + non-centered blocked-MH C_ell with
+# the Planck BB binning/blocking (main_polarization.py:124-126,
+# config.py:44-55)
+SCHEME = os.environ.get("BENCH_SCHEME", "centered")
+N_ITER = int(os.environ.get("BENCH_ITERS",
+                            "60" if SCHEME == "asis" else "150"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 # BENCH_BASELINE=1: run the same sampler as ONE chain on CPU and print the
 # measured sec/iter (the reference's unit of compute: one process of the
@@ -120,6 +126,36 @@ def build():
         fwhm_radians=np.radians(0.5), mask=mask, dtype=jnp.float32,
         grid=grid, sht=sht)
 
+    if SCHEME == "asis":
+        # the reference's flagship ASIS configuration
+        # (main_polarization.py:124-126): overrelaxed aux CR
+        # (gibbs_cr + overrelaxation -> overrelaxation_sampler,
+        # CenteredGibbs.py:828-830) + NC blocked MH with the Planck bins
+        # and the EE one-block / BB big-block + per-bin blocking
+        # (config.py:44-55)
+        from gibbssampler_tpu.schemes import ASISGibbs
+        from gibbssampler_tpu.parallel.adapt import analytic_proposal_sigma
+        bins_ee = np.arange(2, LMAX + 2)
+        if LMAX >= 396:
+            wide = [396, 398, 400, 402, 406, 410, 415, 420, 425, 430, 435,
+                    440, 445, 460, 475, 495, LMAX + 1]
+            bins_bb = np.array(list(range(2, 396)) + wide)
+        else:
+            bins_bb = np.arange(2, LMAX + 2)   # smoke-test sizes
+        nb_ee = len(bins_ee) - 1
+        nb_bb = len(bins_bb) - 1
+        blocks_ee = [(0, nb_ee)]
+        big = min(277, nb_bb)           # reference block boundary bin 279-2
+        blocks_bb = [(0, big)] + [(i, i + 1) for i in range(big, nb_bb)]
+        sig = [analytic_proposal_sigma(
+            np.asarray(model.bl), 0.2 ** 2, model.noise.omega, LMAX, b,
+            f_sky=float(np.asarray(model.noise.f_sky)[f]))
+            for f, b in enumerate((bins_ee, bins_bb))]
+        scheme = ASISGibbs(model, [bins_ee, bins_bb],
+                           [blocks_ee, blocks_bb], sig, n_iter_mh=1,
+                           cr_method="overrelax",
+                           cr_options={"alpha": -0.995})
+        return scheme, (dl_ee, dl_bb, (bins_ee, bins_bb))
     # Planck-style binning: unit bins to l=50, then widening (config.py:45-46)
     edges = list(range(2, 51))
     l = 50
@@ -130,7 +166,7 @@ def build():
     bins = np.array(edges)
     scheme = CenteredGibbs(model, [bins, bins], cr_method="aux_mala",
                            cr_options={"n_gibbs": 1, "tau": 0.02})
-    return scheme, (dl_ee, dl_bb, bins)
+    return scheme, (dl_ee, dl_bb, (bins, bins))
 
 
 def baseline_main():
@@ -139,12 +175,13 @@ def baseline_main():
     Run with JAX_PLATFORMS=cpu.  Writes BASELINE_MEASURED.json."""
     import platform
     import jax
-    scheme, (dl_ee, dl_bb, bins) = build()
+    scheme, (dl_ee, dl_bb, bins_pair) = build()
     from gibbssampler_tpu.harmonics import bin_sum
     import jax.numpy as jnp
-    counts = np.asarray(bin_sum(jnp.ones(LMAX + 1), bins, LMAX))
-    dl0 = tuple(np.asarray(bin_sum(jnp.asarray(d), bins, LMAX)) / counts
-                for d in (dl_ee, dl_bb))
+    dl0 = tuple(
+        np.asarray(bin_sum(jnp.asarray(d), b, LMAX))
+        / np.asarray(bin_sum(jnp.ones(LMAX + 1), b, LMAX))
+        for d, b in zip((dl_ee, dl_bb), bins_pair))
     n = max(2, N_ITER)
     log(f"baseline: warmup (compile) {n} iters, 1 chain, cpu...")
     out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=n, nchains=1)
@@ -169,13 +206,13 @@ def main():
     import jax
     if BASELINE_MODE:
         return baseline_main()
-    scheme, (dl_ee, dl_bb, bins) = build()
+    scheme, (dl_ee, dl_bb, bins_pair) = build()
     from gibbssampler_tpu.harmonics import bin_sum
     import jax.numpy as jnp
-    nb = len(bins) - 1
-    counts = np.asarray(bin_sum(jnp.ones(LMAX + 1), bins, LMAX))
-    dl0 = tuple(np.asarray(bin_sum(jnp.asarray(d), bins, LMAX)) / counts
-                for d in (dl_ee, dl_bb))
+    dl0 = tuple(
+        np.asarray(bin_sum(jnp.asarray(d), b, LMAX))
+        / np.asarray(bin_sum(jnp.ones(LMAX + 1), b, LMAX))
+        for d, b in zip((dl_ee, dl_bb), bins_pair))
 
     n_warm = N_WARM or N_ITER   # same scan length => timed run is fully cached
     log(f"warmup {n_warm} iters (compile)...")
@@ -212,7 +249,9 @@ def main():
         f"single-process CPU baseline est {baseline:.5f} ESS/s")
     print(json.dumps({
         "metric": f"Cl-chain median pooled ESS/s, polarized masked Gibbs "
-                  f"(aux+MALA CR), lmax={LMAX}, grid={GRID}, {NCHAINS} "
+                  f"({'flagship ASIS: overrelax CR + Planck-blocked NC MH'
+                     if SCHEME == 'asis' else 'centered aux+MALA CR'}), "
+                  f"lmax={LMAX}, grid={GRID}, {NCHAINS} "
                   f"chains on one chip; vs_baseline = vs one single-chain "
                   f"CPU reference process at ~{REF_SEC_PER_ITER:.0f}s/iter",
         "value": round(value, 3),
