@@ -56,6 +56,13 @@ N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 # SLURM array, job-script.sh:6).  Results are committed to
 # BASELINE_MEASURED.json and picked up below.
 BASELINE_MODE = bool(int(os.environ.get("BENCH_BASELINE", "0")))
+if BASELINE_MODE:
+    # force the CPU backend *before* any jax import: on this image the axon
+    # TPU plugin registers even with JAX_PLATFORMS=cpu in the environment,
+    # so also set the config flag right after import (verified necessary)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 
 # Reference-stack cost of one iteration for the vs_baseline ratio.
 # Estimate from the reference's own micro-bench: ~6 full-sky TQU SHTs per
@@ -71,8 +78,9 @@ if os.path.exists(_bm_path):
     try:
         with open(_bm_path) as _f:
             _bm = json.load(_f)
-        if _bm.get("lmax") == LMAX and _bm.get("grid") == os.environ.get(
-                "BENCH_GRID", "gl"):
+        if (_bm.get("lmax") == LMAX
+                and _bm.get("grid") == os.environ.get("BENCH_GRID", "gl")
+                and _bm.get("scheme", "centered") == SCHEME):
             REF_SEC_PER_ITER = min(REF_SEC_PER_ITER,
                                    float(_bm["cpu_sec_per_iter"]))
     except (ValueError, KeyError):
@@ -125,6 +133,14 @@ def build():
         noise_sigma2=0.2 ** 2,                        # reference pol noise
         fwhm_radians=np.radians(0.5), mask=mask, dtype=jnp.float32,
         grid=grid, sht=sht)
+    if GRID != "healpix" and int(os.environ.get("BENCH_CUT", "1")):
+        # cut-sky complement decomposition: masked operators through
+        # transforms over the masked rings only (exact on the quadrature
+        # grid; ops.model.with_cut_decomposition, validated in tests)
+        from gibbssampler_tpu.ops import with_cut_decomposition
+        model = with_cut_decomposition(model)
+        log(f"cut decomposition: {model.cut_sht.grid.nrings} of "
+            f"{sht.nrings} rings")
 
     if SCHEME == "asis":
         # the reference's flagship ASIS configuration
@@ -191,7 +207,7 @@ def baseline_main():
     jax.block_until_ready(out["dl_chains"])
     sec = (time.time() - t0) / n
     rec = {"cpu_sec_per_iter": round(sec, 4), "lmax": LMAX,
-           "grid": GRID, "nchains": 1, "n_iter": n,
+           "grid": GRID, "scheme": SCHEME, "nchains": 1, "n_iter": n,
            "machine": platform.processor() or platform.machine(),
            "ncpu": os.cpu_count(),
            "note": "same sampler (centered aux+MALA, masked pol) as the "

@@ -61,6 +61,8 @@ class RunConfig:
     seed: int = 0
     dtype: str = "float32"
     all_sph: bool = False
+    cut: bool = True                     # cut-sky complement decomposition
+                                         # on masked quadrature grids
     out: str = "run_results.npz"
 
     def bins_list(self):
@@ -132,6 +134,9 @@ def _build(cfg: RunConfig):
             jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
             dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
             fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype)
+        if cfg.cut and mask is not None:
+            from ..ops import with_cut_decomposition
+            model = with_cut_decomposition(model)
 
     bins_list = cfg.bins_list()
     nb = len(bins_list[0]) - 1

@@ -28,7 +28,7 @@ from ..sht.transform import SHT
 from ..utils.pytree import register_arrays_pytree
 from .noise import NoiseModel
 
-__all__ = ["SkyModel"]
+__all__ = ["SkyModel", "with_cut_decomposition"]
 
 
 @dataclass(frozen=True)
@@ -46,6 +46,17 @@ class SkyModel:
     bl: jnp.ndarray            # (lmax+1,) beam window
     spin: int
     d: Optional[jnp.ndarray] = None   # observed maps (nfields, nr, nphi)
+
+    # --- optional cut-sky complement decomposition (with_cut_decomposition):
+    # on a quadrature grid with uniform unmasked noise, A^T diag(tau_bar q) A
+    # = (tau_bar/omega) I exactly, so every masked pixel-diagonal operator is
+    # an exact harmonic diagonal minus a correction supported on the masked
+    # ("cut") rings only.  cut_sht transforms over just those rings.
+    cut_sht: Optional[SHT] = None
+    d_cut: Optional[jnp.ndarray] = None   # d on cut rows (nfields, ncut, nphi)
+    w_cut: Optional[jnp.ndarray] = None   # q (tau_bar - tau) on cut rows >= 0
+    cut_c0: Optional[jnp.ndarray] = None  # scalar: d^T N0^-1 d
+    cut_c1: Optional[jnp.ndarray] = None  # (nfields, nstate): A^T N0^-1 d
 
     @property
     def lmax(self) -> int:
@@ -137,6 +148,108 @@ class SkyModel:
             self.noise.inv_noise * self.forward(s))
         return out * mask
 
+    # ---- cut-sky complement operators ------------------------------------
+
+    @property
+    def has_cut(self) -> bool:
+        return self.cut_sht is not None
+
+    def _synthesis_with(self, sht, s: jnp.ndarray) -> jnp.ndarray:
+        """A s through an arbitrary transform (the full grid's or the cut
+        subgrid's)."""
+        if self.spin == 0:
+            return sht.synthesis_state(s[..., 0, :])[..., None, :, :]
+        if self.spin == 3:
+            t = sht.synthesis_state(s[..., 0, :])
+            q, u = sht.synthesis_spin2_state(s[..., 1, :], s[..., 2, :])
+            return jnp.stack([t, q, u], axis=-3)
+        q, u = sht.synthesis_spin2_state(s[..., 0, :], s[..., 1, :])
+        return jnp.stack([q, u], axis=-3)
+
+    def _adjoint_with(self, sht, f: jnp.ndarray) -> jnp.ndarray:
+        if self.spin == 0:
+            return sht.adjoint_synthesis_state(f[..., 0, :, :])[..., None, :]
+        if self.spin == 3:
+            t = sht.adjoint_synthesis_state(f[..., 0, :, :])
+            e, b = sht.adjoint_synthesis_spin2_state(f[..., 1, :, :],
+                                                     f[..., 2, :, :])
+            return jnp.stack([t, e, b], axis=-2)
+        e, b = sht.adjoint_synthesis_spin2_state(f[..., 0, :, :],
+                                                 f[..., 1, :, :])
+        return jnp.stack([e, b], axis=-2)
+
+    def synthesis_cut(self, s: jnp.ndarray) -> jnp.ndarray:
+        """A s restricted to the cut rings (..., nfields, ncut, nphi)."""
+        return self._synthesis_with(self.cut_sht, s)
+
+    def adjoint_synthesis_cut(self, f_cut: jnp.ndarray) -> jnp.ndarray:
+        """A_cut^T f (exact transpose of synthesis_cut)."""
+        return self._adjoint_with(self.cut_sht, f_cut)
+
+    def q_apply_cut(self, s: jnp.ndarray, inv_cvar: jnp.ndarray):
+        """Exact masked Q apply via the complement decomposition:
+        Q s = (C^-1 + tau_bar/omega b_l^2) s
+              - B A_cut^T (w_cut A_cut B s)
+        — identical to q_apply on a quadrature grid, but the transforms run
+        over the cut rings only (the masked band), not the full sphere."""
+        mask = self.ell_mask(s.dtype)
+        s = s * mask
+        sb = self.beam(s)
+        corr = self.beam(self.adjoint_synthesis_cut(
+            self.w_cut * self.synthesis_cut(sb)))
+        diag = inv_cvar + self.harmonic_noise_diag().astype(s.dtype)
+        return (diag * s - corr) * mask
+
+    def _op_valid_mask(self, dtype) -> jnp.ndarray:
+        """(nfields, nstate) mask of the slots the synthesis operator acts
+        on: valid layout slots with l >= 0 for spin-0 fields and l >= 2 for
+        spin-2 fields (spin-2 harmonics start at l = 2)."""
+        lmins = {0: [0], 2: [2, 2], 3: [0, 2, 2]}[self.spin]
+        return jnp.stack([
+            jnp.asarray(ell_mask_state(self.lmax, lmin=lm), dtype=dtype)
+            for lm in lmins])
+
+    def qn_apply(self, s: jnp.ndarray) -> jnp.ndarray:
+        """B A^T N^-1 A B s (the noise term of Q); cut-ring transforms when
+        the complement decomposition is attached, full transforms otherwise."""
+        if self.has_cut:
+            # project onto the operator's valid subspace first: the
+            # transforms annihilate the complement, so the diagonal term
+            # must too (the quadrature identity holds on that subspace)
+            s = s * self._op_valid_mask(s.dtype)
+            sb = self.beam(s)
+            corr = self.beam(self.adjoint_synthesis_cut(
+                self.w_cut * self.synthesis_cut(sb)))
+            return self.harmonic_noise_diag().astype(s.dtype) * s - corr
+        return self.project_data(self.noise.inv_noise * self.forward(s))
+
+    def cut_data_terms(self):
+        """(c0, c1) of the complement likelihood identity
+        -1/2 (d - A u)^T N0^-1 (d - A u) = -c0/2 + <c1, u> - tau_bar/(2 om)
+        ||u||^2 with N0^-1 = tau_bar q (u = B-applied alm).  One full adjoint;
+        precompute once per dataset."""
+        tb = self.noise.field_bcast(self.noise.tau_max)
+        n0 = tb * self.noise.q_map
+        c0 = jnp.sum(n0 * self.d * self.d)
+        c1 = self.adjoint_synthesis(n0 * self.d)
+        return c0, c1
+
+    def data_loglike_cut(self, u: jnp.ndarray,
+                         au_cut: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """-1/2 (d - A u)^T N^-1 (d - A u) via the complement identity;
+        ``u`` is the beam-applied alm state; pass ``au_cut =
+        synthesis_cut(u)`` when it is already computed (shared with the
+        gradient's correction term)."""
+        u = u * self._op_valid_mask(u.dtype)
+        if au_cut is None:
+            au_cut = self.synthesis_cut(u)
+        g = (self.noise.tau_max / self.noise.omega).astype(u.dtype)
+        quad = jnp.sum(g[:, None] * u * u)
+        cross = jnp.sum(self.cut_c1 * u)
+        r_cut = self.d_cut - au_cut
+        cut = jnp.sum(self.w_cut * r_cut * r_cut)
+        return -0.5 * self.cut_c0 + cross - 0.5 * quad + 0.5 * cut
+
     def harmonic_noise_diag(self) -> jnp.ndarray:
         """(nfields, nstate) exact diagonal of B A^T N^-1 A B when the mask
         is trivial (full sky): g_f * b_l^2 with g_f = tau_f / omega.  Used by
@@ -148,5 +261,52 @@ class SkyModel:
         return g[:, None] * bl2[None, :]
 
 
-register_arrays_pytree(SkyModel, array_fields=("sht", "noise", "bl", "d"),
+def with_cut_decomposition(model: SkyModel) -> SkyModel:
+    """Attach the cut-sky complement decomposition to a masked model.
+
+    Requires an iso-latitude quadrature grid (GL; A^T diag(q) A = I/omega
+    exactly) and per-field noise that is *uniform on unmasked pixels*
+    (tau = tau_max wherever the mask is 1) — the reference's model exactly
+    (N = sigma^2 I times a mask, ClsSampler.py:28-33).  The masked rings
+    ("cut" rows: any pixel with tau < tau_max) get their own SHT; masked
+    operators then cost one transform over ~(1 - f_sky) of the rings instead
+    of the full sphere."""
+    import dataclasses as _dc
+    from ..sht.grids import SphereGrid, subgrid_rows
+
+    if model.map_ndim != 2 or not isinstance(model.sht.grid, SphereGrid):
+        raise ValueError("cut decomposition needs an iso-latitude "
+                         "quadrature grid (GL); HEALPix analysis is not an "
+                         "exact inverse so the identity does not hold")
+    noise = model.noise
+    tau = np.asarray(noise.tau)                      # (nf, nr, nphi)
+    q = np.asarray(noise.q_map)
+    tau_bar = tau.reshape(tau.shape[0], -1).max(axis=1)
+    w = q * (tau_bar[:, None, None] - tau)
+    rows = np.where(np.any(w > 1e-12 * tau_bar.max(), axis=(0, 2)))[0]
+    if rows.size == 0:
+        raise ValueError("model has no masked pixels; cut decomposition "
+                         "is pointless on the full sky")
+    sht = model.sht
+    cut_sht = SHT(subgrid_rows(sht.grid, rows), sht.lmax, dtype=sht.dtype,
+                  spin2=(model.spin >= 2), fft_mode=sht.fft_mode,
+                  table_dtype=sht.table_dtype, m_block=sht.m_block,
+                  ring_split=False)
+    dt = sht.dtype
+    out = _dc.replace(
+        model,
+        cut_sht=cut_sht,
+        d_cut=(None if model.d is None
+               else jnp.asarray(model.d)[..., rows, :]),
+        w_cut=jnp.asarray(w[:, rows, :], dtype=dt),
+    )
+    if model.d is not None:
+        c0, c1 = out.cut_data_terms()
+        out = _dc.replace(out, cut_c0=c0, cut_c1=c1)
+    return out
+
+
+register_arrays_pytree(SkyModel,
+                       array_fields=("sht", "noise", "bl", "d", "cut_sht",
+                                     "d_cut", "w_cut", "cut_c0", "cut_c1"),
                        static_fields=("spin",))

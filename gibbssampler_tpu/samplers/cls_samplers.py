@@ -111,6 +111,10 @@ def make_nc_log_likelihood(model: SkyModel, bins_list, all_sph: bool,
 
     pixel path  : -1/2 sum_pix N^-1 (d - A B C^{1/2} s_nc)^2  — one synthesis
                   per evaluation (reference: NonCenteredGibbs.py:333-355)
+    complement  : the same masked likelihood through the cut-sky identity
+                  (exact on a quadrature grid; SkyModel.data_loglike_cut) —
+                  transforms run over the masked rings only.  Selected
+                  automatically when the model carries the cut decomposition.
     all_sph path: the same likelihood evaluated fully in harmonic space,
                   valid on the full sky where the analysis-basis noise is
                   white: -g/2 sum (d_alm - b_l C^{1/2} s_nc)^2
@@ -129,6 +133,13 @@ def make_nc_log_likelihood(model: SkyModel, bins_list, all_sph: bool,
             s = jnp.sqrt(var) * s_nc
             resid = d_alm - model.beam(s)
             return -0.5 * jnp.sum(g[:, None] * resid * resid)
+    elif model.has_cut:
+
+        def log_like(dl_tuple, s_nc):
+            var = _dl_tuple_to_var(dl_tuple, bins_list, lmax, model.nstate,
+                                   s_nc.dtype)
+            u = model.beam(jnp.sqrt(var) * s_nc)
+            return model.data_loglike_cut(u)
     else:
 
         def log_like(dl_tuple, s_nc):

@@ -105,13 +105,22 @@ def exact_cr(key, model: SkyModel, var_cls, bt_ninv_d):
 # Masked-sky CG solve (and RJPO variant)
 # ---------------------------------------------------------------------------
 
+def _q_op(model, inv_cvar):
+    """The CG operator: the cut-ring complement form when attached (exact on
+    a quadrature grid, transforms only over the masked rings) else the plain
+    masked apply."""
+    if model.has_cut:
+        return lambda x: model.q_apply_cut(x, inv_cvar)
+    return lambda x: model.q_apply(x, inv_cvar)
+
+
 def cg_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old=None,
           tol=1e-6, maxiter=4000):
     """Perturbation-optimization CG draw, seeded at zero (reference seeds the
     qcinv solution at 0, CenteredGibbs.py:154-171); treated as exact."""
     inv_cvar = _safe_inv(var_cls)
     b = fluctuated_rhs(key, model, var_cls, bt_ninv_d)
-    op = lambda x: model.q_apply(x, inv_cvar)
+    op = _q_op(model, inv_cvar)
     x, info = cg_solve(op, b, x0=None,
                        precond_diag=cr_precond(model, var_cls),
                        tol=tol, maxiter=maxiter, ndim_sys=2)
@@ -129,7 +138,7 @@ def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     kb, ka = jax.random.split(key)
     inv_cvar = _safe_inv(var_cls)
     b = fluctuated_rhs(kb, model, var_cls, bt_ninv_d)
-    op = lambda x: model.q_apply(x, inv_cvar)
+    op = _q_op(model, inv_cvar)
     s_hat, info = cg_solve(op, b, x0=s_old * _active(var_cls),
                            precond_diag=cr_precond(model, var_cls),
                            tol=tol, maxiter=maxiter, ndim_sys=2)
@@ -148,28 +157,35 @@ def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 # ---------------------------------------------------------------------------
 
 def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
-    """Shared pieces: the pixel gap operator (mu - N^-1) and the harmonic
-    posterior variance Sigma = (C^-1 + mu_bar/omega b_l^2)^-1."""
+    """Shared pieces: the pixel gap operator (mu - N^-1), the harmonic
+    posterior variance Sigma = (C^-1 + mu_bar/omega b_l^2)^-1, and the
+    forward/project maps the two conditionals use.
+
+    With the cut decomposition attached, mu is taken *exactly* at
+    max(N^-1) (eps = 0): the gap then vanishes off the masked rings, the
+    auxiliary field v lives on the cut rings only (zero-variance components
+    are almost surely zero and drop out of both conditionals), and both
+    conditionals run through cut-ring transforms."""
     from ..harmonics.gridstate import expand_cl_state
     noise = model.noise
     dt = var_cls.dtype
-    mu_bar = noise.tau_max.astype(dt) + eps          # (nfields,)
-    gap = (noise.q_map * (noise.field_bcast(mu_bar)
-                          - noise.tau)).astype(dt)   # (nfields, *pix)
-    gap = jnp.maximum(gap, 0.0)
     inv_cvar = _safe_inv(var_cls)
     bl2 = expand_cl_state(model.bl.astype(dt) ** 2, model.lmax)
+    if model.has_cut:
+        gap = model.w_cut.astype(dt)
+        mu_bar = noise.tau_max.astype(dt)
+        fwd = lambda s: model.synthesis_cut(model.beam(s))
+        proj = lambda v: model.beam(model.adjoint_synthesis_cut(v))
+    else:
+        mu_bar = noise.tau_max.astype(dt) + eps      # (nfields,)
+        gap = (noise.q_map * (noise.field_bcast(mu_bar)
+                              - noise.tau)).astype(dt)   # (nfields, *pix)
+        gap = jnp.maximum(gap, 0.0)
+        fwd = model.forward
+        proj = model.project_data
     hdiag = (mu_bar[:, None] / noise.omega) * bl2[None, :]
     sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
-    return gap, sigma
-
-
-def _aux_v_mean(model, gap, s):
-    return gap * model.forward(s)
-
-
-def _aux_s_mean(model, sigma, v, bt_ninv_d):
-    return sigma * (model.project_data(v) + bt_ninv_d)
+    return gap, sigma, fwd, proj
 
 
 def aux_gibbs_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
@@ -179,14 +195,14 @@ def aux_gibbs_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     harmonic space (reference: CenteredGibbs.py:193-212, :676-729;
     mu = max(N^-1) + 1e-7, ConstrainedRealization.py:44).  ``n_gibbs`` inner
     sweeps per call (reference runs 20 inside ASIS, main_polarization.py:126)."""
-    gap, sigma = _aux_ops(model, var_cls, eps)
+    gap, sigma, fwd, proj = _aux_ops(model, var_cls, eps)
 
     def sweep(s, k):
         kv, ks = jax.random.split(k)
         xi_v = jax.random.normal(kv, gap.shape, dtype=var_cls.dtype)
-        v = _aux_v_mean(model, gap, s) + jnp.sqrt(gap) * xi_v
+        v = gap * fwd(s) + jnp.sqrt(gap) * xi_v
         xi_s = jax.random.normal(ks, var_cls.shape, dtype=var_cls.dtype)
-        s = _aux_s_mean(model, sigma, v, bt_ninv_d) + jnp.sqrt(sigma) * xi_s
+        s = sigma * (proj(v) + bt_ninv_d) + jnp.sqrt(sigma) * xi_s
         return s, None
 
     keys = jax.random.split(key, n_gibbs)
@@ -200,7 +216,7 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     """Overrelaxed auxiliary sweep s|v, v|s, s|v with
     x <- m + alpha (x - m) + sqrt(1 - alpha^2) sqrt(Sigma) xi, alpha = -0.995
     (reference: CenteredGibbs.py:733-825, alpha at :244)."""
-    gap, sigma = _aux_ops(model, var_cls, eps)
+    gap, sigma, fwd, proj = _aux_ops(model, var_cls, eps)
     dt = var_cls.dtype
     sq = jnp.sqrt(jnp.asarray(1.0 - alpha * alpha, dt))
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -208,17 +224,17 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
     # initial v draw (plain) to define the chain state
     xi = jax.random.normal(k1, gap.shape, dtype=dt)
-    v = _aux_v_mean(model, gap, s) + jnp.sqrt(gap) * xi
+    v = gap * fwd(s) + jnp.sqrt(gap) * xi
     # overrelaxed s | v
-    m = _aux_s_mean(model, sigma, v, bt_ninv_d)
+    m = sigma * (proj(v) + bt_ninv_d)
     xi = jax.random.normal(k2, var_cls.shape, dtype=dt)
     s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
     # overrelaxed v | s
-    mv = _aux_v_mean(model, gap, s)
+    mv = gap * fwd(s)
     xi = jax.random.normal(k3, gap.shape, dtype=dt)
     v = mv + alpha * (v - mv) + sq * jnp.sqrt(gap) * xi
     # overrelaxed s | v
-    m = _aux_s_mean(model, sigma, v, bt_ninv_d)
+    m = sigma * (proj(v) + bt_ninv_d)
     xi = jax.random.normal(k4, var_cls.shape, dtype=dt)
     s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
     return s, CRInfo(accept=jnp.ones((), dt), extra=jnp.zeros((), dt))
@@ -227,23 +243,6 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 # ---------------------------------------------------------------------------
 # Langevin samplers (preconditioned ULA / MALA)
 # ---------------------------------------------------------------------------
-
-def _log_target(model: SkyModel, var_cls, s, d):
-    """log pi(s | C, d) up to a constant: -1/2 s^T C^-1 s
-    - 1/2 (d - A B s)^T N^-1 (d - A B s)."""
-    inv_cvar = _safe_inv(var_cls)
-    resid = d - model.forward(s)
-    return (-0.5 * jnp.sum(inv_cvar * s * s)
-            - 0.5 * jnp.sum(model.noise.inv_noise * resid * resid))
-
-
-def _grad_log_target(model: SkyModel, var_cls, s, bt_ninv_d):
-    """-C^-1 s - B A^T N^-1 A B s + B A^T N^-1 d (reference:
-    CenteredGibbs.py:494-559, data term precomputed at :296-314)."""
-    inv_cvar = _safe_inv(var_cls)
-    qs = model.project_data(model.noise.inv_noise * model.forward(s))
-    return (-inv_cvar * s - qs + bt_ninv_d) * _active(var_cls)
-
 
 def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
             tau: float = 0.02, accept: bool = True):
@@ -254,7 +253,9 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
     Each state's forward map A B s is computed once and shared between the
     gradient and the log-target (2 transforms per state instead of 3 —
-    the reference recomputes the SHT for each, CenteredGibbs.py:505-559)."""
+    the reference recomputes the SHT for each, CenteredGibbs.py:505-559).
+    With the cut decomposition attached both the gradient's noise term and
+    the log-target run through cut-ring transforms (complement identity)."""
     inv_cvar = _safe_inv(var_cls)
     hdiag = model.harmonic_noise_diag().astype(var_cls.dtype)
     sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
@@ -263,15 +264,28 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     d = model.d
     inv_noise = model.noise.inv_noise
 
-    def fwd_grad_logp(x):
-        """forward once -> (gradient, log target)."""
-        fwd = model.forward(x)
-        resid = d - fwd
-        qs = model.project_data(inv_noise * fwd)
-        grad = (-inv_cvar * x - qs + bt_ninv_d) * _active(var_cls)
-        logp = (-0.5 * jnp.sum(inv_cvar * x * x)
-                - 0.5 * jnp.sum(inv_noise * resid * resid))
-        return grad, logp
+    if model.has_cut:
+        def fwd_grad_logp(x):
+            """one cut synthesis + one cut adjoint -> (gradient, log target)."""
+            u = model.beam(x)
+            au_cut = model.synthesis_cut(u)
+            corr = model.beam(model.adjoint_synthesis_cut(
+                model.w_cut * au_cut))
+            qs = hdiag * x - corr
+            grad = (-inv_cvar * x - qs + bt_ninv_d) * _active(var_cls)
+            logp = (-0.5 * jnp.sum(inv_cvar * x * x)
+                    + model.data_loglike_cut(u, au_cut))
+            return grad, logp
+    else:
+        def fwd_grad_logp(x):
+            """forward once -> (gradient, log target)."""
+            fwd = model.forward(x)
+            resid = d - fwd
+            qs = model.project_data(inv_noise * fwd)
+            grad = (-inv_cvar * x - qs + bt_ninv_d) * _active(var_cls)
+            logp = (-0.5 * jnp.sum(inv_cvar * x * x)
+                    - 0.5 * jnp.sum(inv_noise * resid * resid))
+            return grad, logp
 
     s = s_old * _active(var_cls)
     g, logp_s = fwd_grad_logp(s)
@@ -324,9 +338,12 @@ def pcn_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
     d = model.d
 
-    def log_like(x):
-        resid = d - model.forward(x)
-        return -0.5 * jnp.sum(model.noise.inv_noise * resid * resid)
+    if model.has_cut:
+        log_like = lambda x: model.data_loglike_cut(model.beam(x))
+    else:
+        def log_like(x):
+            resid = d - model.forward(x)
+            return -0.5 * jnp.sum(model.noise.inv_noise * resid * resid)
 
     log_ratio = log_like(s_prop) - log_like(s)
     u = jax.random.uniform(ka, dtype=dt)

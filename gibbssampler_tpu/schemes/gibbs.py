@@ -349,6 +349,8 @@ class PNCPGibbs(GibbsScheme):
         def pncp_like(dl_tuple, s_pnc_):
             var = self._var_high(dl_tuple, dt)
             s_full = jnp.sqrt(var) * s_pnc_
+            if self.model.has_cut:
+                return self.model.data_loglike_cut(self.model.beam(s_full))
             resid = self.model.d - self.model.forward(s_full)
             return -0.5 * jnp.sum(self.model.noise.inv_noise * resid * resid)
 

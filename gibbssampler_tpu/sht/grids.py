@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["SphereGrid", "gauss_legendre_grid"]
+__all__ = ["SphereGrid", "gauss_legendre_grid", "subgrid_rows"]
 
 
 @dataclass(frozen=True)
@@ -56,6 +56,27 @@ class SphereGrid:
     def __eq__(self, other):
         return (isinstance(other, SphereGrid) and self.name == other.name
                 and self.nrings == other.nrings and self.nphi == other.nphi)
+
+
+def subgrid_rows(grid: SphereGrid, rows) -> SphereGrid:
+    """The iso-latitude grid restricted to a static subset of rings.
+
+    Used by the cut-sky complement decomposition (ops.model): a masked
+    operator on a quadrature grid equals its exact full-sky diagonal minus a
+    correction supported on the masked rings, so transforms restricted to
+    those rings replace full-sky transforms in the hot masked paths."""
+    import hashlib
+    idx = np.asarray(rows)
+    if idx.dtype == bool:
+        idx = np.where(idx)[0]
+    tag = hashlib.sha1(idx.tobytes()).hexdigest()[:10]
+    return SphereGrid(
+        name=f"{grid.name}_rows{idx.size}_{tag}",
+        theta=grid.theta[idx],
+        weights=grid.weights[idx],
+        nphi=grid.nphi,
+        phi0=grid.phi0[idx],
+    )
 
 
 @functools.lru_cache(maxsize=None)
