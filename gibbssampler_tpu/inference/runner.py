@@ -91,37 +91,11 @@ def _build(cfg: RunConfig):
                                spin2=(cfg.spin >= 2))
         mask = (galactic_band_mask(nside, cfg.mask_band_deg)
                 if cfg.mask_band_deg > 0 else None)
-        from ..harmonics.gridstate import (variance_expansion_state,
-                                           almxfl_state)
-        from ..harmonics.spectra import gauss_beam
-        bl = (gauss_beam(np.radians(cfg.fwhm_deg), cfg.lmax, dtype=dtype)
-              if cfg.fwhm_deg > 0 else jnp.ones(cfg.lmax + 1, dtype=dtype))
-        noise = NoiseModel.white_healpix(cfg.noise_sigma2, sht.geo,
-                                         nfields=fields.shape[0], mask=mask,
-                                         dtype=dtype)
-        key0 = jax.random.PRNGKey(cfg.seed)
-
-        @jax.jit
-        def _sim(sht, noise, bl, key):
-            ks, kn = jax.random.split(key)
-            var = jax.vmap(lambda d: variance_expansion_state(
-                jnp.asarray(d, dtype), cfg.lmax))(jnp.asarray(fields, dtype))
-            alm = jnp.sqrt(var) * jax.random.normal(ks, var.shape, dtype=dtype)
-            alm_b = almxfl_state(alm, bl, cfg.lmax)
-            if cfg.spin == 0:
-                sky = sht.synthesis_state(alm_b[0])[None]
-            else:
-                q, u = sht.synthesis_spin2_state(alm_b[0], alm_b[1])
-                sky = jnp.stack([q, u], axis=0)
-            inv = noise.inv_noise
-            std = jnp.where(inv > 0, 1.0 / jnp.sqrt(
-                jnp.where(inv > 0, inv, 1.0)), 0.0)
-            return alm, sky + std * jax.random.normal(kn, sky.shape,
-                                                      dtype=dtype)
-
-        alm_true, d = _sim(sht, noise, bl, key0)
-        model = SkyModel(sht=sht, noise=noise, bl=bl, spin=cfg.spin, d=d)
-        truth = {"alm_true": alm_true}
+        model, truth = simulate_dataset(
+            jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
+            dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
+            fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype,
+            sht=sht)
     else:
         mask = None
         if cfg.mask_band_deg > 0:
