@@ -133,7 +133,10 @@ def build():
         noise_sigma2=0.2 ** 2,                        # reference pol noise
         fwhm_radians=np.radians(0.5), mask=mask, dtype=jnp.float32,
         grid=grid, sht=sht)
-    if GRID != "healpix" and int(os.environ.get("BENCH_CUT", "1")):
+    # the CPU baseline stands in for the reference stack, which always
+    # transforms the full sphere — never attach our cut decomposition there
+    if (GRID != "healpix" and int(os.environ.get("BENCH_CUT", "1"))
+            and not BASELINE_MODE):
         # cut-sky complement decomposition: masked operators through
         # transforms over the masked rings only (exact on the quadrature
         # grid; ops.model.with_cut_decomposition, validated in tests)
