@@ -26,7 +26,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..harmonics.gridstate import (alm2cl_state, variance_expansion_state)
+from ..harmonics.gridstate import (alm2cl_state, almxfl_state,
+                                   expand_cl_state,
+                                   variance_expansion_state)
 from ..harmonics.spectra import bin_sum, unfold_bins
 from ..ops.model import SkyModel
 
@@ -231,6 +233,220 @@ def nc_cls_sample(key, dl_tuple, s_nc, log_like_fn, bins_list, blocks_list,
         out_acc.append(acc_mean[i0: i0 + len(blocks)])
         i0 += len(blocks)
     return split_fields(dlf), NCClsInfo(accept=tuple(out_acc), log_like=ll)
+
+
+def _per_ell(y, lmax):
+    """(..., nstate) -> (..., L) sums over the (part, m) axes."""
+    L = lmax + 1
+    return y.reshape(y.shape[:-1] + (2, L, L)).sum(axis=(-3, -2))
+
+
+def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
+                      prop_sigma_list, n_iter: int = 1):
+    """Rank-one fast path of :func:`nc_cls_sample` for cut-decomposition
+    models — same Markov kernel, same random stream, scalar-cost blocks.
+
+    The whitened likelihood is quadratic in u(dl) = B sqrt(var(dl)) s_nc and
+    u is *linear in the per-bin sqrt(D_i)* with mutually orthogonal per-bin
+    components t_i (disjoint ell supports):
+
+        u = sum_i sqrt(D_i) t_i,   t_i = B sqrt(2 pi / l(l+1)) s_nc|_{bin i}
+
+    so a single-bin block's candidate changes u by gamma t_i
+    (gamma = sqrt(D') - sqrt(D)) and, through the complement identity
+    (SkyModel.data_loglike_cut), its log-likelihood change is
+
+        dll = gamma (alpha_i - sqrt(D_i) beta_i - <w r, A t_i>)
+              + gamma^2 (q_i - beta_i) / 2
+
+    with alpha_i = <c1, t_i>, beta_i = g ||t_i||^2, q_i = ||sqrt(w) A t_i||^2
+    precomputed once per call (A t_i for every single bin comes from ONE
+    batched ell-selected cut synthesis, sht.synthesis_*_lsel) and the cut
+    residual r maintained incrementally.  Multi-bin ("big") blocks are
+    evaluated directly (one cut synthesis each).  The reference's production
+    blocking — EE one block, BB big block + ~133 per-bin blocks
+    (config.py:44-55) — thus costs 2 cut syntheses + scalars per sweep
+    instead of ~136 full likelihood evaluations."""
+    if not model.has_cut:
+        raise ValueError("nc_cls_sample_cut needs a cut-decomposition model")
+    from ..harmonics.spectra import dl_to_cl_factor
+    lmax = model.lmax
+    L = lmax + 1
+    dt = dl_tuple[0].dtype
+    nfields = len(dl_tuple)
+    sizes = [int(d.shape[-1]) for d in dl_tuple]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    ntot = int(offs[-1])
+    rows = []
+    for f, blocks in enumerate(blocks_list):
+        for (lo, hi) in blocks:
+            r = np.zeros(ntot)
+            r[offs[f] + lo: offs[f] + hi] = 1.0
+            rows.append(r)
+    bmask = jnp.asarray(np.stack(rows), dtype=dt)
+    nblocks = bmask.shape[0]
+    sigma = jnp.concatenate([jnp.broadcast_to(jnp.asarray(p, dt), (n,))
+                             for p, n in zip(prop_sigma_list, sizes)])
+
+    # ---- static per-call precomputation --------------------------------
+    fac = dl_to_cl_factor(lmax, dt)                       # 2pi/(l(l+1))
+    tfl = model.bl.astype(dt) * jnp.sqrt(fac)
+    t = almxfl_state(s_nc.astype(dt), tfl, lmax)          # (nf, nstate)
+    g = (model.noise.tau_max / model.noise.omega).astype(dt)   # (nf,)
+    # per-bin harmonic scalars (bin masks are pure ell selections)
+    alpha = jnp.concatenate([
+        bin_sum(_per_ell(model.cut_c1[f].astype(dt) * t[f], lmax),
+                np.asarray(bins_list[f]), lmax)
+        for f in range(nfields)])
+    beta = jnp.concatenate([
+        g[f] * bin_sum(_per_ell(t[f] * t[f], lmax),
+                       np.asarray(bins_list[f]), lmax)
+        for f in range(nfields)])
+
+    # single-bin blocks (in sweep order) and their global bin indices
+    order = []          # (kind, field, block_row, data) in block order
+    singles = []        # global bin index per single block, in order
+    brow = 0
+    for f, blocks in enumerate(blocks_list):
+        for (lo, hi) in blocks:
+            if hi - lo == 1:
+                order.append(("single", f, brow, offs[f] + lo))
+                singles.append((f, lo, offs[f] + lo))
+            else:
+                order.append(("big", f, brow, None))
+            brow += 1
+
+    # A t_i for every single bin: one batched ell-selected cut synthesis
+    # per field; maps stacked over the model's field/map axis
+    cut = model.cut_sht
+    zeros = jnp.zeros_like(t[0])
+    a_parts = {}
+    for f in range(nfields):
+        bins_f = np.asarray(bins_list[f])
+        lo_idx = [lo for (ff, lo, _) in singles if ff == f]
+        if not lo_idx:
+            continue
+        sel = np.zeros((len(lo_idx), L))
+        for k, lo in enumerate(lo_idx):
+            sel[k, bins_f[lo]: bins_f[lo + 1]] = 1.0
+        sel = jnp.asarray(sel, dt)
+        if model.spin == 0:
+            a = cut.synthesis_state_lsel(t[0], sel)[..., None, :, :]
+        elif model.spin == 2:
+            if f == 0:
+                q, u_ = cut.synthesis_spin2_state_lsel(t[0], zeros, sel)
+            else:
+                q, u_ = cut.synthesis_spin2_state_lsel(zeros, t[1], sel)
+            a = jnp.stack([q, u_], axis=-3)
+        else:                       # spin 3: (T, E, B) <-> (T, Q, U)
+            if f == 0:
+                tm = cut.synthesis_state_lsel(t[0], sel)
+                a = jnp.stack([tm, jnp.zeros_like(tm),
+                               jnp.zeros_like(tm)], axis=-3)
+            else:
+                e_in = t[1] if f == 1 else zeros
+                b_in = t[2] if f == 2 else zeros
+                q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
+                a = jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
+        a_parts[f] = a              # (nb_f, nfmaps, ncut, nphi)
+    a_singles = jnp.concatenate(
+        [a_parts[f] for f in range(nfields) if f in a_parts], axis=-4) \
+        if singles else None        # (nsingle, nfmaps, ncut, nphi)
+    w_cut = model.w_cut.astype(dt)
+    q_diag = (jnp.sum(w_cut * a_singles * a_singles, axis=(-3, -2, -1))
+              if singles else None)
+    gbin_singles = jnp.asarray([gi for (_, _, gi) in singles])
+    single_rows = [row for (kind, _, row, _) in order if kind == "single"]
+    big_steps = [(row, brow_mask) for (kind, _, row, _), brow_mask
+                 in zip(order, bmask) if kind == "big"]
+
+    # the fast path processes the big blocks at their positions and then the
+    # singles as one scan: require the blocks_list order to already be
+    # [bigs..., singles...] (the reference's production layout) so the
+    # Markov-kernel composition order matches nc_cls_sample exactly
+    kinds = [k for (k, *_rest) in order]
+    if "single" in kinds and "big" in kinds[kinds.index("single"):]:
+        raise ValueError("nc_cls_sample_cut requires all multi-bin blocks "
+                         "to precede the single-bin blocks; use "
+                         "nc_cls_sample for this blocking")
+
+    def u_of(dlcat):
+        parts = [jnp.sqrt(expand_cl_state(
+            unfold_bins(dlcat[offs[f]: offs[f + 1]],
+                        np.asarray(bins_list[f]), lmax), lmax)) * t[f]
+            for f in range(nfields)]
+        return jnp.stack(parts, axis=0)
+
+    dl0 = jnp.concatenate([d.astype(dt) for d in dl_tuple], axis=-1)
+    u0 = u_of(dl0)
+    au0 = model.synthesis_cut(u0)
+    resid0 = model.d_cut.astype(dt) - au0
+    ll0 = model.data_loglike_cut(u0, au0)
+
+    def sweep(carry, k):
+        dlcat, ll, resid = carry
+        kp, ka = jax.random.split(k)
+        props = propose_truncnorm(kp, dlcat, sigma)
+        lr_vec = truncnorm_logratio(dlcat, props, sigma)
+        akeys = jax.random.split(ka, nblocks)
+        accs = jnp.zeros((nblocks,), dt)
+
+        # sweep order follows blocks_list exactly; the reference layout is
+        # [EE big, BB big, BB singles], so process bigs in place then the
+        # contiguous singles run through one inner scan
+        for kind_idx, (kind, f, row, gi) in enumerate(order):
+            if kind != "big":
+                continue
+            mb = bmask[row]
+            cand = jnp.where(mb > 0, props, dlcat)
+            u_c = u_of(cand)
+            au_c = model.synthesis_cut(u_c)
+            ll_c = model.data_loglike_cut(u_c, au_c)
+            qcorr = jnp.sum(mb * lr_vec)
+            acc = (jnp.log(jax.random.uniform(akeys[row], dtype=dt))
+                   < ll_c - ll + qcorr)
+            dlcat = jnp.where(acc, cand, dlcat)
+            ll = jnp.where(acc, ll_c, ll)
+            resid = jnp.where(acc, model.d_cut.astype(dt) - au_c, resid)
+            accs = accs.at[row].set(acc.astype(dt))
+
+        if singles:
+            xs = (gbin_singles, a_singles, q_diag,
+                  alpha[gbin_singles], beta[gbin_singles],
+                  akeys[jnp.asarray(single_rows)])
+
+            def one(carry, x):
+                dlcat, ll, resid = carry
+                gi, a_i, q_i, al_i, be_i, ak = x
+                D = dlcat[gi]
+                P = props[gi]
+                gamma = jnp.sqrt(P) - jnp.sqrt(D)
+                cwr = jnp.sum(w_cut * resid * a_i)
+                dll = (gamma * (al_i - jnp.sqrt(D) * be_i - cwr)
+                       + 0.5 * gamma * gamma * (q_i - be_i))
+                acc = (jnp.log(jax.random.uniform(ak, dtype=dt))
+                       < dll + lr_vec[gi])
+                gam_eff = jnp.where(acc, gamma, 0.0)
+                dlcat = dlcat.at[gi].set(jnp.where(acc, P, D))
+                resid = resid - gam_eff * a_i
+                ll = ll + jnp.where(acc, dll, 0.0)
+                return (dlcat, ll, resid), acc.astype(dt)
+
+            (dlcat, ll, resid), acc_s = jax.lax.scan(
+                one, (dlcat, ll, resid), xs)
+            accs = accs.at[jnp.asarray(single_rows)].set(acc_s)
+
+        return (dlcat, ll, resid), accs
+
+    (dlcat, ll, resid), accs = jax.lax.scan(
+        sweep, (dl0, ll0, resid0), jax.random.split(key, n_iter))
+    acc_mean = jnp.mean(accs, axis=0)
+    out_acc, i0 = [], 0
+    for f, blocks in enumerate(blocks_list):
+        out_acc.append(acc_mean[i0: i0 + len(blocks)])
+        i0 += len(blocks)
+    dl_out = tuple(dlcat[offs[f]: offs[f + 1]] for f in range(nfields))
+    return dl_out, NCClsInfo(accept=tuple(out_acc), log_like=ll)
 
 
 # ---------------------------------------------------------------------------

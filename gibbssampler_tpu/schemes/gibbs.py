@@ -49,6 +49,33 @@ class GibbsState(NamedTuple):
 CR_METHODS = ("exact", "cg", "rjpo", "aux_gibbs", "overrelax", "mala", "ula",
               "aux_mala", "pcn")
 
+
+def _cut_mh_eligible(model, blocks_list, all_sph: bool) -> bool:
+    """True when the rank-one blocked-MH fast path applies: cut model,
+    pixel-domain likelihood, at least one single-bin block, and every
+    multi-bin block preceding the single-bin ones (the reference's
+    production layout, config.py:44-55)."""
+    if not getattr(model, "has_cut", False) or all_sph:
+        return False
+    kinds = [hi - lo == 1 for blocks in blocks_list for (lo, hi) in blocks]
+    if not any(kinds):
+        return False
+    first_single = kinds.index(True)
+    return all(kinds[first_single:])
+
+
+def _nc_cls_step(scheme, key, dl, s_nc):
+    """Dispatch the blocked-MH C_ell step to the rank-one fast path when
+    eligible (set up in _rebind), else the direct evaluation."""
+    if scheme._use_cut_mh:
+        return cls_mod.nc_cls_sample_cut(
+            key, dl, s_nc, scheme.model, scheme.bins_list,
+            scheme.blocks_list, scheme.prop_sigma_list,
+            n_iter=scheme.n_iter_mh)
+    return cls_mod.nc_cls_sample(
+        key, dl, s_nc, scheme.log_like, scheme.bins_list,
+        scheme.blocks_list, scheme.prop_sigma_list, n_iter=scheme.n_iter_mh)
+
 _BT_JIT = jax.jit(lambda m: m.bt_ninv_d())
 
 
@@ -232,6 +259,8 @@ class NonCenteredGibbs(GibbsScheme):
         self.log_like = cls_mod.make_nc_log_likelihood(
             self.model, self.bins_list, all_sph=self.all_sph,
             d_alm=self.d_alm)
+        self._use_cut_mh = _cut_mh_eligible(self.model, self.blocks_list,
+                                            self.all_sph)
 
     def init_state(self, key, dl_init_tuple):
         st = super().init_state(key, dl_init_tuple)
@@ -245,9 +274,7 @@ class NonCenteredGibbs(GibbsScheme):
             k1, cls_mod.recenter(state.s, state.dl, self.bins_list, self.lmax),
             self.var_cls(state.dl))
         s_nc = cls_mod.whiten(s, state.dl, self.bins_list, self.lmax)
-        dl, mh_info = cls_mod.nc_cls_sample(
-            k2, state.dl, s_nc, self.log_like, self.bins_list,
-            self.blocks_list, self.prop_sigma_list, n_iter=self.n_iter_mh)
+        dl, mh_info = _nc_cls_step(self, k2, state.dl, s_nc)
         info = {"dl": dl, "cr_accept": cr_info.accept,
                 "mh_accept": mh_info.accept}
         return GibbsState(s=s_nc, dl=dl), info
@@ -277,15 +304,15 @@ class ASISGibbs(GibbsScheme):
         self.log_like = cls_mod.make_nc_log_likelihood(
             self.model, self.bins_list, all_sph=self.all_sph,
             d_alm=self.d_alm)
+        self._use_cut_mh = _cut_mh_eligible(self.model, self.blocks_list,
+                                            self.all_sph)
 
     def step(self, key, state: GibbsState):
         k1, k2, k3 = jax.random.split(key, 3)
         s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
         dl_c = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
         s_nc = cls_mod.whiten(s, dl_c, self.bins_list, self.lmax)
-        dl, mh_info = cls_mod.nc_cls_sample(
-            k3, dl_c, s_nc, self.log_like, self.bins_list,
-            self.blocks_list, self.prop_sigma_list, n_iter=self.n_iter_mh)
+        dl, mh_info = _nc_cls_step(self, k3, dl_c, s_nc)
         s = cls_mod.recenter(s_nc, dl, self.bins_list, self.lmax)
         info = {"dl": dl, "cr_accept": cr_info.accept,
                 "mh_accept": mh_info.accept}

@@ -178,6 +178,27 @@ class LegendreCore:
         rows.append(cat(Fs_parts, -1)[..., ::-1, :])
         return jnp.concatenate(rows, axis=-2)
 
+    def _lsynth_stack_binned(self, lam, g2, sel):
+        """Segmented Legendre synthesis: (..., c, L, L) grids and a static
+        (nb, L) 0/1 ell-selector -> (..., nb, c, nr, L) ring-Fourier
+        coefficients of each selected ell-subset.  One 3-operand einsum per
+        m-block (the l contraction picks up the selector), so all nb subsets
+        are produced in one batched matmul instead of nb separate syntheses.
+        Used by the rank-one blocked-MH fast path (cls_samplers).  Requires
+        the dense (non-ring-split) table layout."""
+        if self.ring_split:
+            raise NotImplementedError(
+                "binned synthesis requires ring_split=False tables")
+        gt = g2.astype(self.table_dtype)
+        selt = sel.astype(self.table_dtype)
+        outs = [
+            jnp.einsum("mlr,bl,...cml->...bcrm", blk, selt[:, m0:],
+                       gt[..., m0:m1, m0:],
+                       preferred_element_type=self.dtype)
+            for (m0, m1), blk in zip(self._msplit(), lam)]
+        F = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return F.astype(self.dtype)
+
     def _lsynth2(self, lam, re, im):
         """[re, im] (..., L, L) -> (Fre, Fim) (..., nr, L), one table read."""
         F = self._lsynth_stack(lam, jnp.stack([re, im], axis=-3))

@@ -245,6 +245,10 @@ class SHT(LegendreCore):
         if self._constrain_F is not None:
             Fp_re, Fp_im = self._constrain_F(Fp_re), self._constrain_F(Fp_im)
             Fm_re, Fm_im = self._constrain_F(Fm_re), self._constrain_F(Fm_im)
+        return self._spin2_maps_from_F(Fp_re, Fp_im, Fm_re, Fm_im)
+
+    def _spin2_maps_from_F(self, Fp_re, Fp_im, Fm_re, Fm_im):
+        """(F+, F-) ring Fourier coefficients (..., nr, L) -> (Q, U) maps."""
         Fp_re, Fp_im = self._rot(Fp_re, Fp_im, +1)
         Fm_re, Fm_im = self._rot(Fm_re, Fm_im, +1)
         # P(phi) = sum_{m>=0} F+ e^{im phi} + sum_{m>0} conj(F-) e^{-im phi}
@@ -268,6 +272,36 @@ class SHT(LegendreCore):
         q = self._unfold_half(qc - qs, qc + qs)
         u = self._unfold_half(uc + us, uc - us)
         return q, u
+
+    # -- ell-selected (binned) synthesis: the rank-one MH fast path ---------
+
+    def synthesis_state_lsel(self, x: jnp.ndarray, sel) -> jnp.ndarray:
+        """A applied to each ell-subset of x: sel (nb, L) 0/1 selectors ->
+        (..., nb, nr, nphi) maps, all subsets through one batched Legendre
+        einsum (lcore._lsynth_stack_binned)."""
+        sel = jnp.asarray(sel, self.dtype)
+        F = self._lsynth_stack_binned(self.lam0, self._state_grids(x), sel)
+        return self._ring_ifft_real(F[..., 0, :, :], F[..., 1, :, :])
+
+    def synthesis_spin2_state_lsel(self, e_state, b_state, sel):
+        """Spin-2 synthesis of each ell-subset of (E, B): (..., nb, nr, nphi)
+        Q and U maps (rank-one MH fast path; requires ring_split=False)."""
+        self._require_spin2()
+        if self.lam_p2 is None:
+            raise NotImplementedError(
+                "binned spin-2 synthesis requires ring_split=False tables")
+        sel = jnp.asarray(sel, self.dtype)
+        eg = self._state_grids(e_state)
+        bg = self._state_grids(b_state)
+        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
+        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
+        ap = jnp.stack([-(ere - bim), -(eim + bre)], axis=-3)
+        am = jnp.stack([-(ere + bim), -(eim - bre)], axis=-3)
+        Fp = self._lsynth_stack_binned(self.lam_p2, ap, sel)
+        Fm = self._lsynth_stack_binned(self.lam_m2, am, sel)
+        return self._spin2_maps_from_F(
+            Fp[..., 0, :, :], Fp[..., 1, :, :],
+            Fm[..., 0, :, :], Fm[..., 1, :, :])
 
     def synthesis_spin2(self, e_flat: jnp.ndarray, b_flat: jnp.ndarray):
         """(E, B) real-packed alm -> (Q, U) maps (interop wrapper; the hot

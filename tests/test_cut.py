@@ -182,3 +182,35 @@ def test_asis_scheme_on_cut_model():
                       + 1.0 / np.maximum(sb["ess"], 4))
     bad = np.abs(mb - ma) > 6 * se
     assert not bad.any(), (np.where(bad)[0], mb[bad], ma[bad], se[bad])
+
+
+def test_nc_cls_sample_cut_matches_reference_path():
+    """The rank-one fast path consumes the identical random stream and
+    computes identical accept ratios, so whole MH chains must match the
+    direct nc_cls_sample (complement likelihood) bit-near."""
+    from gibbssampler_tpu.samplers import make_nc_log_likelihood
+    from gibbssampler_tpu.samplers.cls_samplers import (nc_cls_sample,
+                                                        nc_cls_sample_cut)
+    model, mc, fields = make_masked(spin=2, sigma2=0.5)
+    bins = [np.arange(2, LMAX + 2)] * 2
+    nb = LMAX - 1
+    # reference-shaped blocking satisfying the fast path's bigs-then-singles
+    # global order: EE one big block, BB all per-bin blocks
+    blocks = [[(0, nb)], [(i, i + 1) for i in range(nb)]]
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(jnp.asarray(np.maximum(f[2:], 1e-6)) for f in fields)
+    s_nc = jax.random.normal(jax.random.PRNGKey(30), (2, model.nstate))
+    ll_fn = make_nc_log_likelihood(mc, bins, all_sph=False)
+    for k in range(3):
+        key = jax.random.PRNGKey(100 + k)
+        dl_a, info_a = nc_cls_sample(key, dl0, s_nc, ll_fn, bins, blocks,
+                                     sig, n_iter=3)
+        dl_b, info_b = nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                         sig, n_iter=3)
+        for f in range(2):
+            np.testing.assert_allclose(np.asarray(dl_b[f]),
+                                       np.asarray(dl_a[f]),
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(info_b.accept[f]),
+                                       np.asarray(info_a.accept[f]),
+                                       atol=1e-12)
