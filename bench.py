@@ -32,7 +32,7 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 LMAX = int(os.environ.get("BENCH_LMAX", "512"))
-NCHAINS = int(os.environ.get("BENCH_NCHAINS", "64"))
+NCHAINS = int(os.environ.get("BENCH_NCHAINS", "128"))
 # data grid: "gl" (Gauss-Legendre quadrature grid) or "healpix" (the
 # reference's actual production grid, NSIDE = lmax/2; config.py:19-21)
 GRID = os.environ.get("BENCH_GRID", "gl")
