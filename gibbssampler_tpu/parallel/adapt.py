@@ -48,6 +48,25 @@ def pooled_proposal_sigmas(dl_chains, scale: float = 2.38,
     return np.maximum(scale * sd, floor)
 
 
+def proposal_sigmas_from_results(npz_path, nfields: int | None = None,
+                                 scale: float = 2.38, burn_frac: float = 0.2):
+    """Proposal std-devs pooled from a previous run's saved chains — the
+    reference's two-phase preliminary-run workflow
+    (get_proposal_variances_preliminary, config.py:136-225), reading the
+    results npz written by inference.run_experiment."""
+    z = np.load(str(npz_path))
+    fields = [k for k in z.files if k.startswith("dl_chain_")]
+    fields.sort(key=lambda k: int(k.split("_")[-1]))
+    if nfields is not None:
+        fields = fields[:nfields]
+    out = []
+    for k in fields:
+        c = np.asarray(z[k], dtype=np.float64)     # (nchains, n_iter, nbins)
+        c = c[:, int(burn_frac * c.shape[1]):]
+        out.append(pooled_proposal_sigmas(c, scale=scale))
+    return out
+
+
 def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
                    n_segments: int = 3, seg_iters: int = 200,
                    nchains: int = 8, target_accept=(0.2, 0.5)):

@@ -148,8 +148,9 @@ def cg_joint_cr(key, model, cl_blocks, bt_ninv_d, tol=1e-6, maxiter=4000):
 
     def q_apply(x):
         x = x * active
-        out = apply_cinv(x) + model.project_data(
-            model.noise.inv_noise * model.forward(x))
+        # qn_apply routes through the cut-ring complement transforms when
+        # the model carries the cut decomposition (exact; ops.model)
+        out = apply_cinv(x) + model.qn_apply(x)
         return out * active
 
     x, info = cg_solve(q_apply, b, x0=None, precond=apply_pinv,

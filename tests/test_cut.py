@@ -214,3 +214,44 @@ def test_nc_cls_sample_cut_matches_reference_path():
             np.testing.assert_allclose(np.asarray(info_b.accept[f]),
                                        np.asarray(info_a.accept[f]),
                                        atol=1e-12)
+
+
+def test_joint_cg_on_cut_model():
+    """Joint TQU CG with the cut model reproduces the plain-model draw
+    (qn_apply complement is exact) under a ring mask, same key."""
+    from gibbssampler_tpu.samplers import cg_joint_cr, synfast_joint
+    from gibbssampler_tpu.ops import NoiseModel, SkyModel
+    from gibbssampler_tpu.sht import make_sht
+
+    lmax = LMAX
+    sht = make_sht(lmax, dtype=jnp.float64, spin2=True)
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    C = np.zeros((lmax + 1, 3, 3))
+    C[:, 0, 0] = 10.0 / (1 + ell) ** 1.5
+    C[:, 1, 1] = 0.5 / (1 + ell) ** 1.5
+    C[:, 2, 2] = 0.05 / (1 + ell) ** 1.5
+    C[:, 0, 1] = C[:, 1, 0] = 0.5 * np.sqrt(C[:, 0, 0] * C[:, 1, 1])
+    C[:2] = 0.0
+    s_true = synfast_joint(jax.random.PRNGKey(20), C, lmax, dtype=jnp.float64)
+    lat = np.abs(np.pi / 2 - sht.grid.theta)
+    keep = (lat > 0.3).astype(np.float64)
+    mask = np.broadcast_to(keep[:, None], (sht.grid.nrings, sht.grid.nphi))
+    noise = NoiseModel.white(0.5, sht.grid, nfields=3, mask=mask,
+                             dtype=jnp.float64)
+    model = SkyModel(sht=sht, noise=noise, bl=jnp.ones(lmax + 1), spin=3,
+                     d=None)
+    sky = model.synthesis(s_true)
+    inv = noise.inv_noise
+    std = jnp.where(inv > 0, 1.0 / jnp.sqrt(jnp.where(inv > 0, inv, 1.0)),
+                    0.0)
+    d = sky + std * jax.random.normal(jax.random.PRNGKey(21), sky.shape,
+                                      dtype=jnp.float64)
+    model = SkyModel(sht=sht, noise=noise, bl=model.bl, spin=3, d=d)
+    mc = with_cut_decomposition(model)
+    bt = model.bt_ninv_d()
+    key = jax.random.PRNGKey(22)
+    s1, _ = cg_joint_cr(key, model, jnp.asarray(C), bt, tol=1e-11,
+                        maxiter=1500)
+    s2, _ = cg_joint_cr(key, mc, jnp.asarray(C), bt, tol=1e-11, maxiter=1500)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-7,
+                               rtol=1e-6)
