@@ -242,13 +242,15 @@ class NonCenteredGibbs(GibbsScheme):
 
     def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
                  n_iter_mh: int = 1, all_sph: bool = False,
-                 d_alm: Optional[jnp.ndarray] = None, **kw):
+                 d_alm: Optional[jnp.ndarray] = None,
+                 mh_fast: str = "auto", **kw):
         super().__init__(model, bins_list, **kw)
         self.blocks_list = _freeze_blocks(blocks_list)
         self.prop_sigma_list = tuple(jnp.asarray(p) for p in prop_sigma_list)
         self.n_iter_mh = n_iter_mh
         self.all_sph = all_sph
         self.d_alm = d_alm
+        self.mh_fast = mh_fast      # "auto" | "off" (static; tests force off)
         self._rebind()
 
     def _rebind(self):
@@ -259,8 +261,9 @@ class NonCenteredGibbs(GibbsScheme):
         self.log_like = cls_mod.make_nc_log_likelihood(
             self.model, self.bins_list, all_sph=self.all_sph,
             d_alm=self.d_alm)
-        self._use_cut_mh = _cut_mh_eligible(self.model, self.blocks_list,
-                                            self.all_sph)
+        self._use_cut_mh = (self.mh_fast != "off"
+                            and _cut_mh_eligible(self.model, self.blocks_list,
+                                                 self.all_sph))
 
     def init_state(self, key, dl_init_tuple):
         st = super().init_state(key, dl_init_tuple)
@@ -287,13 +290,15 @@ class ASISGibbs(GibbsScheme):
 
     def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
                  n_iter_mh: int = 1, all_sph: bool = False,
-                 d_alm: Optional[jnp.ndarray] = None, **kw):
+                 d_alm: Optional[jnp.ndarray] = None,
+                 mh_fast: str = "auto", **kw):
         super().__init__(model, bins_list, **kw)
         self.blocks_list = _freeze_blocks(blocks_list)
         self.prop_sigma_list = tuple(jnp.asarray(p) for p in prop_sigma_list)
         self.n_iter_mh = n_iter_mh
         self.all_sph = all_sph
         self.d_alm = d_alm
+        self.mh_fast = mh_fast      # "auto" | "off" (static; tests force off)
         self._rebind()
 
     def _rebind(self):
@@ -304,8 +309,9 @@ class ASISGibbs(GibbsScheme):
         self.log_like = cls_mod.make_nc_log_likelihood(
             self.model, self.bins_list, all_sph=self.all_sph,
             d_alm=self.d_alm)
-        self._use_cut_mh = _cut_mh_eligible(self.model, self.blocks_list,
-                                            self.all_sph)
+        self._use_cut_mh = (self.mh_fast != "off"
+                            and _cut_mh_eligible(self.model, self.blocks_list,
+                                                 self.all_sph))
 
     def step(self, key, state: GibbsState):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -393,9 +399,9 @@ class PNCPGibbs(GibbsScheme):
 for _cls, _extra_arrays, _extra_static in (
     (CenteredGibbs, (), ()),
     (NonCenteredGibbs, ("prop_sigma_list", "d_alm"),
-     ("blocks_list", "n_iter_mh", "all_sph")),
+     ("blocks_list", "n_iter_mh", "all_sph", "mh_fast")),
     (ASISGibbs, ("prop_sigma_list", "d_alm"),
-     ("blocks_list", "n_iter_mh", "all_sph")),
+     ("blocks_list", "n_iter_mh", "all_sph", "mh_fast")),
     (PNCPGibbs, ("prop_sigma_list",),
      ("blocks_list", "n_iter_mh", "all_sph", "l_cut", "cut_bin")),
 ):

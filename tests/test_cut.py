@@ -255,3 +255,33 @@ def test_joint_cg_on_cut_model():
     s2, _ = cg_joint_cr(key, mc, jnp.asarray(C), bt, tol=1e-11, maxiter=1500)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-7,
                                rtol=1e-6)
+
+
+def test_asis_fast_path_matches_direct_scheme():
+    """Full ASIS chains with the rank-one MH fast path equal the direct
+    nc_cls_sample path bit-near (same model, same keys) — the scheme-level
+    guarantee on top of the kernel-level test above."""
+    from gibbssampler_tpu.schemes import ASISGibbs
+    _, mc, fields = make_masked(spin=2, sigma2=0.5)
+    bins = np.arange(2, LMAX + 2)
+    nb = len(bins) - 1
+    blocks_ee = [(0, nb)]
+    blocks_bb = [(0, nb // 2)] + [(i, i + 1) for i in range(nb // 2, nb)]
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(np.maximum(f[2:], 1e-6) for f in fields)
+    kw = dict(n_iter_mh=2, cr_method="overrelax")
+    fast = ASISGibbs(mc, [bins] * 2, [blocks_ee, blocks_bb], sig, **kw)
+    assert fast._use_cut_mh
+    # mh_fast is pytree aux data, so the override survives jit round-trips
+    direct = ASISGibbs(mc, [bins] * 2, [blocks_ee, blocks_bb], sig,
+                       mh_fast="off", **kw)
+    assert not direct._use_cut_mh
+    out_f = fast.run(jax.random.PRNGKey(50), dl0, n_iter=30, nchains=2)
+    out_d = direct.run(jax.random.PRNGKey(50), dl0, n_iter=30, nchains=2)
+    for f in range(2):
+        np.testing.assert_allclose(np.asarray(out_f["dl_chains"][f]),
+                                   np.asarray(out_d["dl_chains"][f]),
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out_f["mh_accept"][f]),
+                                   np.asarray(out_d["mh_accept"][f]),
+                                   atol=1e-12)
