@@ -285,3 +285,31 @@ def test_asis_fast_path_matches_direct_scheme():
         np.testing.assert_allclose(np.asarray(out_f["mh_accept"][f]),
                                    np.asarray(out_d["mh_accept"][f]),
                                    atol=1e-12)
+
+
+def test_cut_exact_with_apodized_mask():
+    """The complement identity holds for any tau <= tau_bar, including
+    apodized (fractional) masks — exactness does not require a binary cut."""
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+    grid = gauss_legendre_grid(LMAX)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    x = np.clip((lat - 0.25) / 0.25, 0.0, 1.0)
+    apo = 0.5 * (1.0 - np.cos(np.pi * x))            # smooth ring profile
+    mask = np.broadcast_to(apo[:, None], (grid.nrings, grid.nphi))
+    fields = np.stack([example_dl(LMAX, "ee", amp=10.0),
+                       example_dl(LMAX, "bb", amp=10.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(3), LMAX, spin=2,
+                                dl_fields=fields, noise_sigma2=0.5,
+                                mask=mask, dtype=jnp.float64)
+    mc = with_cut_decomposition(model)
+    var = var_of(model, fields)
+    inv = jnp.where(var > 0, 1.0 / jnp.where(var > 0, var, 1.0), 0.0)
+    s = jax.random.normal(jax.random.PRNGKey(4), (2, model.nstate))
+    np.testing.assert_allclose(
+        np.asarray(mc.q_apply_cut(s, inv)), np.asarray(model.q_apply(s, inv)),
+        atol=1e-11 * float(jnp.max(jnp.abs(model.q_apply(s, inv)))))
+    x2 = s * model.ell_mask()
+    resid = model.d - model.forward(x2)
+    ll_pix = -0.5 * float(jnp.sum(model.noise.inv_noise * resid * resid))
+    ll_cut = float(mc.data_loglike_cut(mc.beam(x2)))
+    assert abs(ll_cut - ll_pix) < 1e-9 * max(1.0, abs(ll_pix))
