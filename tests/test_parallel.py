@@ -162,3 +162,45 @@ def test_m_sharded_cr_matches_unsharded(method, spin):
         np.testing.assert_allclose(np.asarray(out_s["dl_chains"][f]),
                                    np.asarray(out_u["dl_chains"][f]),
                                    rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_cut_fastpath_matches_unsharded():
+    """Flagship configuration (cut decomposition + rank-one blocked MH +
+    overrelaxed aux CR) under chain+m sharding reproduces the single-device
+    chains with identical keys."""
+    from gibbssampler_tpu.ops import with_cut_decomposition
+    from gibbssampler_tpu.schemes import ASISGibbs
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+
+    lmax = 9
+    grid = gauss_legendre_grid(lmax)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    mask = np.broadcast_to((lat > 0.3)[:, None],
+                           (grid.nrings, grid.nphi)).astype(np.float64)
+    fields = np.stack([example_dl(lmax, "ee", amp=10.0),
+                       example_dl(lmax, "bb", amp=10.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(7), lmax, spin=2,
+                                dl_fields=fields, noise_sigma2=0.5,
+                                mask=mask, dtype=jnp.float64)
+    mesh = make_mesh(n_chains=2, n_m=4)
+    model_sh = SkyModel(sht=shard_sht(model.sht, mesh), noise=model.noise,
+                        bl=model.bl, spin=model.spin, d=model.d)
+    bins = np.arange(2, lmax + 2)
+    nb = len(bins) - 1
+    blocks = [[(0, nb)], [(0, nb // 2)] + [(i, i + 1)
+                                           for i in range(nb // 2, nb)]]
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.4 for f in fields]
+    dl0 = tuple(np.maximum(f[2:], 1e-6) for f in fields)
+    kw = dict(n_iter_mh=1, cr_method="overrelax")
+    sch_u = ASISGibbs(with_cut_decomposition(model), [bins] * 2, blocks,
+                      sig, **kw)
+    sch_s = ASISGibbs(with_cut_decomposition(model_sh), [bins] * 2, blocks,
+                      sig, **kw)
+    assert sch_u._use_cut_mh and sch_s._use_cut_mh
+    out_u = sch_u.run(jax.random.PRNGKey(8), dl0, n_iter=10, nchains=2)
+    out_s = sharded_run(sch_s, jax.random.PRNGKey(8), dl0, n_iter=10,
+                        nchains=2, mesh=mesh)
+    for f in range(2):
+        np.testing.assert_allclose(np.asarray(out_s["dl_chains"][f]),
+                                   np.asarray(out_u["dl_chains"][f]),
+                                   rtol=1e-7, atol=1e-10)
