@@ -188,6 +188,15 @@ def build():
     return scheme, (dl_ee, dl_bb, (bins, bins))
 
 
+def _binned_mean_np(per_ell, bins):
+    """Binned mean of a per-ell array, pure numpy (the starting D_ell; no
+    eager device ops — every TPU dispatch goes through jit+exec-cache)."""
+    per_ell = np.asarray(per_ell, dtype=np.float64)
+    bins = np.asarray(bins)
+    return np.array([per_ell[lo:hi].mean() for lo, hi in
+                     zip(bins[:-1], bins[1:])])
+
+
 def baseline_main():
     """Measure one CPU process (the reference's SLURM-array unit) running
     the identical sampler: one chain, same masked polarized aux+MALA step.
@@ -195,12 +204,8 @@ def baseline_main():
     import platform
     import jax
     scheme, (dl_ee, dl_bb, bins_pair) = build()
-    from gibbssampler_tpu.harmonics import bin_sum
-    import jax.numpy as jnp
-    dl0 = tuple(
-        np.asarray(bin_sum(jnp.asarray(d), b, LMAX))
-        / np.asarray(bin_sum(jnp.ones(LMAX + 1), b, LMAX))
-        for d, b in zip((dl_ee, dl_bb), bins_pair))
+    dl0 = tuple(_binned_mean_np(d, b) for d, b in zip((dl_ee, dl_bb),
+                                                      bins_pair))
     n = max(2, N_ITER)
     log(f"baseline: warmup (compile) {n} iters, 1 chain, cpu...")
     out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=n, nchains=1)
@@ -226,12 +231,8 @@ def main():
     if BASELINE_MODE:
         return baseline_main()
     scheme, (dl_ee, dl_bb, bins_pair) = build()
-    from gibbssampler_tpu.harmonics import bin_sum
-    import jax.numpy as jnp
-    dl0 = tuple(
-        np.asarray(bin_sum(jnp.asarray(d), b, LMAX))
-        / np.asarray(bin_sum(jnp.ones(LMAX + 1), b, LMAX))
-        for d, b in zip((dl_ee, dl_bb), bins_pair))
+    dl0 = tuple(_binned_mean_np(d, b) for d, b in zip((dl_ee, dl_bb),
+                                                      bins_pair))
 
     n_warm = N_WARM or N_ITER   # same scan length => timed run is fully cached
     log(f"warmup {n_warm} iters (compile)...")

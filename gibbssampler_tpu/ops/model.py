@@ -261,6 +261,21 @@ class SkyModel:
         return g[:, None] * bl2[None, :]
 
 
+_CUT_TERMS_JIT = None
+
+
+def _cut_terms_cached(model: SkyModel):
+    """model.cut_data_terms() as ONE cached compiled unit: it contains a full
+    adjoint synthesis, and eager op-by-op dispatch of that is both slow and
+    fragile on remote-compile backends (the axon tunnel)."""
+    global _CUT_TERMS_JIT
+    import jax
+    from ..utils.exec_cache import cached_call
+    if _CUT_TERMS_JIT is None:
+        _CUT_TERMS_JIT = jax.jit(lambda m: m.cut_data_terms())
+    return cached_call(_CUT_TERMS_JIT, "cutterms", model)
+
+
 def with_cut_decomposition(model: SkyModel) -> SkyModel:
     """Attach the cut-sky complement decomposition to a masked model.
 
@@ -297,11 +312,14 @@ def with_cut_decomposition(model: SkyModel) -> SkyModel:
         model,
         cut_sht=cut_sht,
         d_cut=(None if model.d is None
-               else jnp.asarray(model.d)[..., rows, :]),
+               # numpy slice (host): an eager device gather would cost one
+               # remote compile per call on the axon tunnel
+               else jnp.asarray(np.asarray(model.d)[..., rows, :],
+                                dtype=dt)),
         w_cut=jnp.asarray(w[:, rows, :], dtype=dt),
     )
     if model.d is not None:
-        c0, c1 = out.cut_data_terms()
+        c0, c1 = _cut_terms_cached(out)
         out = _dc.replace(out, cut_c0=c0, cut_c1=c1)
     return out
 
