@@ -42,7 +42,69 @@ from ..ops.cg import cg_solve
 __all__ = [
     "exact_cr", "cg_cr", "rjpo_cr", "aux_gibbs_cr", "overrelax_cr",
     "mala_cr", "aux_then_mala_cr", "pcn_cr", "fluctuated_rhs", "cr_precond",
+    "noise_pool_spec",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Pre-drawn noise pools
+#
+# Every CR step consumes a few large Gaussian fields.  Drawing them inside
+# the per-chain vmap (one PRNG key per chain) costs ~17 ms per full-state
+# draw at lmax=512 x 128 chains on a TPU v5e chip, while the *same* variates
+# drawn once for the whole chain batch from a single key are nearly free
+# (XLA vectorizes the single-key counter stream and fuses it into the
+# consumer; a batched-key draw defeats that).  The schemes therefore
+# pre-draw a per-iteration "noise pool" with one key (schemes.gibbs.
+# GibbsScheme.draw_noise_pool) and pass each chain's slice into the step;
+# the functions below accept it via ``noise`` and fall back to in-place
+# per-key draws when it is absent (direct calls, tests).
+# ---------------------------------------------------------------------------
+
+
+def noise_pool_spec(method: str, opts: dict) -> dict:
+    """Number of pre-drawn N(0,1) fields each CR method consumes per step,
+    by kind: "state" (nfields, nstate), "aux" (the auxiliary pixel field's
+    shape — the cut rows under the cut decomposition, the full pixel grid
+    otherwise), "pix" (full pixel grid)."""
+    n_g = int(opts.get("n_gibbs", 1))
+    return {
+        "exact": {"state": 1},
+        "cg": {"state": 1, "pix": 1},
+        "rjpo": {"state": 1, "pix": 1},
+        "aux_gibbs": {"state": n_g, "aux": n_g},
+        "overrelax": {"state": 2, "aux": 2},
+        "mala": {"state": 1},
+        "ula": {"state": 1},
+        "aux_mala": {"state": n_g + 1, "aux": n_g},
+        "pcn": {"state": 1},
+    }[method]
+
+
+class _Pool:
+    """Static cursor over a pre-drawn noise dict {kind: (K, *shape)}."""
+
+    def __init__(self, noise):
+        self.noise = noise or {}
+        self._i = {}
+
+    def has(self, kind) -> bool:
+        return kind in self.noise
+
+    def take(self, kind, count: int = None):
+        """Next ``count`` fields of ``kind`` (static slice); count=None -> 1
+        field without the leading axis."""
+        j = self._i.get(kind, 0)
+        n = 1 if count is None else count
+        self._i[kind] = j + n
+        block = self.noise[kind][j: j + n]
+        return block[0] if count is None else block
+
+
+def _as_pool(noise):
+    if isinstance(noise, _Pool):
+        return noise
+    return _Pool(noise) if noise else None
 
 
 def _safe_inv(v):
@@ -53,14 +115,17 @@ def _active(var_cls):
     return (var_cls > 0).astype(var_cls.dtype)
 
 
-def fluctuated_rhs(key, model: SkyModel, var_cls, bt_ninv_d):
+def fluctuated_rhs(key, model: SkyModel, var_cls, bt_ninv_d, noise=None):
     """b = B A^T N^-1 d + C^-1/2 om0 + B A^T N^-1/2 om1 — the random RHS whose
     exact solve is a draw from N(Q^-1 b_mean, Q^-1) (perturbation-optimization;
     used by both the plain CG and RJPO steps)."""
+    pool = _as_pool(noise)
     k0, k1 = jax.random.split(key)
     inv_cvar = _safe_inv(var_cls)
-    om0 = jax.random.normal(k0, var_cls.shape, dtype=var_cls.dtype)
-    om1 = jax.random.normal(k1, model.noise.tau.shape, dtype=var_cls.dtype)
+    om0 = (pool.take("state") if pool else
+           jax.random.normal(k0, var_cls.shape, dtype=var_cls.dtype))
+    om1 = (pool.take("pix") if pool else
+           jax.random.normal(k1, model.noise.tau.shape, dtype=var_cls.dtype))
     b = bt_ninv_d + jnp.sqrt(inv_cvar) * om0
     b = b + model.project_data(jnp.sqrt(model.noise.inv_noise) * om1)
     return b * _active(var_cls)
@@ -87,7 +152,7 @@ class CRInfo(NamedTuple):
 # Exact full-sky diagonal solve
 # ---------------------------------------------------------------------------
 
-def exact_cr(key, model: SkyModel, var_cls, bt_ninv_d):
+def exact_cr(key, model: SkyModel, var_cls, bt_ninv_d, noise=None):
     """Full-sky exact draw: Sigma = (C^-1 + g b_l^2)^-1 elementwise; exact on
     a quadrature grid with quadrature-scaled white noise (the reference's
     full-sky solve is the HEALPix approximation of this,
@@ -95,7 +160,9 @@ def exact_cr(key, model: SkyModel, var_cls, bt_ninv_d):
     inv_cvar = _safe_inv(var_cls)
     hdiag = model.harmonic_noise_diag().astype(var_cls.dtype)
     sigma = _safe_inv(inv_cvar + hdiag) * _active(var_cls)
-    xi = jax.random.normal(key, var_cls.shape, dtype=var_cls.dtype)
+    pool = _as_pool(noise)
+    xi = (pool.take("state") if pool else
+          jax.random.normal(key, var_cls.shape, dtype=var_cls.dtype))
     s = sigma * bt_ninv_d + jnp.sqrt(sigma) * xi
     return s, CRInfo(accept=jnp.ones((), var_cls.dtype),
                      extra=jnp.zeros((), var_cls.dtype))
@@ -115,11 +182,11 @@ def _q_op(model, inv_cvar):
 
 
 def cg_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old=None,
-          tol=1e-6, maxiter=4000):
+          tol=1e-6, maxiter=4000, noise=None):
     """Perturbation-optimization CG draw, seeded at zero (reference seeds the
     qcinv solution at 0, CenteredGibbs.py:154-171); treated as exact."""
     inv_cvar = _safe_inv(var_cls)
-    b = fluctuated_rhs(key, model, var_cls, bt_ninv_d)
+    b = fluctuated_rhs(key, model, var_cls, bt_ninv_d, noise=noise)
     op = _q_op(model, inv_cvar)
     x, info = cg_solve(op, b, x0=None,
                        precond_diag=cr_precond(model, var_cls),
@@ -130,14 +197,14 @@ def cg_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old=None,
 
 
 def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-            tol=1e-5, maxiter=4000):
+            tol=1e-5, maxiter=4000, noise=None):
     """RJPO: solve the fluctuated system approximately (seeded at the current
     state) and Metropolis-correct with the residual:
     log alpha = -<r, s_old - s_hat>, r = b - Q s_hat
     (reference: CenteredGibbs.py:162-191 TT, :606-674 pol)."""
     kb, ka = jax.random.split(key)
     inv_cvar = _safe_inv(var_cls)
-    b = fluctuated_rhs(kb, model, var_cls, bt_ninv_d)
+    b = fluctuated_rhs(kb, model, var_cls, bt_ninv_d, noise=noise)
     op = _q_op(model, inv_cvar)
     s_hat, info = cg_solve(op, b, x0=s_old * _active(var_cls),
                            precond_diag=cr_precond(model, var_cls),
@@ -189,53 +256,66 @@ def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
 
 
 def aux_gibbs_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-                 n_gibbs: int = 1, eps=1e-7):
+                 n_gibbs: int = 1, eps=1e-7, noise=None):
     """Auxiliary-variable Gibbs: augment with pixel field
     v | s ~ N((mu - N^-1) A B s, mu - N^-1); then s | v, d is diagonal in
     harmonic space (reference: CenteredGibbs.py:193-212, :676-729;
     mu = max(N^-1) + 1e-7, ConstrainedRealization.py:44).  ``n_gibbs`` inner
     sweeps per call (reference runs 20 inside ASIS, main_polarization.py:126)."""
     gap, sigma, fwd, proj = _aux_ops(model, var_cls, eps)
+    pool = _as_pool(noise)
 
-    def sweep(s, k):
-        kv, ks = jax.random.split(k)
-        xi_v = jax.random.normal(kv, gap.shape, dtype=var_cls.dtype)
+    def sweep(s, xs):
+        k, xi_v, xi_s = xs
+        if xi_v is None:
+            kv, ks = jax.random.split(k)
+            xi_v = jax.random.normal(kv, gap.shape, dtype=var_cls.dtype)
+            xi_s = jax.random.normal(ks, var_cls.shape, dtype=var_cls.dtype)
         v = gap * fwd(s) + jnp.sqrt(gap) * xi_v
-        xi_s = jax.random.normal(ks, var_cls.shape, dtype=var_cls.dtype)
         s = sigma * (proj(v) + bt_ninv_d) + jnp.sqrt(sigma) * xi_s
         return s, None
 
     keys = jax.random.split(key, n_gibbs)
-    s, _ = jax.lax.scan(sweep, s_old * _active(var_cls), keys)
+    if pool:
+        xs = (keys, pool.take("aux", n_gibbs), pool.take("state", n_gibbs))
+    else:
+        xs = (keys, None, None)
+    s, _ = jax.lax.scan(sweep, s_old * _active(var_cls), xs)
     return s, CRInfo(accept=jnp.ones((), var_cls.dtype),
                      extra=jnp.zeros((), var_cls.dtype))
 
 
 def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-                 alpha: float = -0.995, eps=1e-7):
+                 alpha: float = -0.995, eps=1e-7, noise=None):
     """Overrelaxed auxiliary sweep s|v, v|s, s|v with
     x <- m + alpha (x - m) + sqrt(1 - alpha^2) sqrt(Sigma) xi, alpha = -0.995
     (reference: CenteredGibbs.py:733-825, alpha at :244)."""
     gap, sigma, fwd, proj = _aux_ops(model, var_cls, eps)
+    pool = _as_pool(noise)
     dt = var_cls.dtype
     sq = jnp.sqrt(jnp.asarray(1.0 - alpha * alpha, dt))
     k1, k2, k3, k4 = jax.random.split(key, 4)
     s = s_old * _active(var_cls)
 
+    def draw(k, kind, shape):
+        if pool:
+            return pool.take(kind)
+        return jax.random.normal(k, shape, dtype=dt)
+
     # initial v draw (plain) to define the chain state
-    xi = jax.random.normal(k1, gap.shape, dtype=dt)
+    xi = draw(k1, "aux", gap.shape)
     v = gap * fwd(s) + jnp.sqrt(gap) * xi
     # overrelaxed s | v
     m = sigma * (proj(v) + bt_ninv_d)
-    xi = jax.random.normal(k2, var_cls.shape, dtype=dt)
+    xi = draw(k2, "state", var_cls.shape)
     s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
     # overrelaxed v | s
     mv = gap * fwd(s)
-    xi = jax.random.normal(k3, gap.shape, dtype=dt)
+    xi = draw(k3, "aux", gap.shape)
     v = mv + alpha * (v - mv) + sq * jnp.sqrt(gap) * xi
     # overrelaxed s | v
     m = sigma * (proj(v) + bt_ninv_d)
-    xi = jax.random.normal(k4, var_cls.shape, dtype=dt)
+    xi = draw(k4, "state", var_cls.shape)
     s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
     return s, CRInfo(accept=jnp.ones((), dt), extra=jnp.zeros((), dt))
 
@@ -245,7 +325,7 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 # ---------------------------------------------------------------------------
 
 def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-            tau: float = 0.02, accept: bool = True):
+            tau: float = 0.02, accept: bool = True, noise=None):
     """Preconditioned MALA: s' = s + tau Sigma grad + sqrt(2 tau Sigma) xi,
     Sigma = full-sky posterior diagonal, tau = 0.02 (reference:
     CenteredGibbs.py:494-603; tau at :294).  accept=False gives unadjusted
@@ -287,9 +367,11 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
                     - 0.5 * jnp.sum(inv_noise * resid * resid))
             return grad, logp
 
+    pool = _as_pool(noise)
     s = s_old * _active(var_cls)
     g, logp_s = fwd_grad_logp(s)
-    xi = jax.random.normal(kp, var_cls.shape, dtype=dt)
+    xi = (pool.take("state") if pool else
+          jax.random.normal(kp, var_cls.shape, dtype=dt))
     prop_mean = s + tau * sigma * g
     s_prop = prop_mean + jnp.sqrt(2.0 * tau * sigma) * xi
 
@@ -313,16 +395,19 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
 
 def aux_then_mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-                     n_gibbs: int = 1, tau: float = 0.02):
+                     n_gibbs: int = 1, tau: float = 0.02, noise=None):
     """One auxiliary-Gibbs sweep followed by a MALA step — the reference's
     "Composition !" branch (CenteredGibbs.py:833-836)."""
+    pool = _as_pool(noise)
     k1, k2 = jax.random.split(key)
-    s, _ = aux_gibbs_cr(k1, model, var_cls, bt_ninv_d, s_old, n_gibbs=n_gibbs)
-    return mala_cr(k2, model, var_cls, bt_ninv_d, s, tau=tau, accept=True)
+    s, _ = aux_gibbs_cr(k1, model, var_cls, bt_ninv_d, s_old,
+                        n_gibbs=n_gibbs, noise=pool)
+    return mala_cr(k2, model, var_cls, bt_ninv_d, s, tau=tau, accept=True,
+                   noise=pool)
 
 
 def pcn_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-           beta: float = 0.1):
+           beta: float = 0.1, noise=None):
     """Preconditioned Crank–Nicolson step: prior-reversible proposal
     s' = sqrt(1 - beta^2) s + beta C^{1/2} xi, accepted on the likelihood
     ratio alone (dimension-robust).  The reference validated pCN only on a
@@ -332,7 +417,9 @@ def pcn_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     kp, ka = jax.random.split(key)
     act = _active(var_cls)
     s = s_old * act
-    xi = jax.random.normal(kp, var_cls.shape, dtype=dt)
+    pool = _as_pool(noise)
+    xi = (pool.take("state") if pool else
+          jax.random.normal(kp, var_cls.shape, dtype=dt))
     s_prop = (jnp.sqrt(1.0 - beta * beta) * s
               + beta * jnp.sqrt(var_cls) * xi) * act
 

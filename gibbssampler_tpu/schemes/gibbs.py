@@ -80,38 +80,46 @@ _BT_JIT = jax.jit(lambda m: m.bt_ninv_d())
 
 
 def _make_cr_step(method: str, model: SkyModel, bt_ninv_d, opts: dict):
-    """Bind a CR method name to a (key, s, var_cls) -> (s, info) function."""
+    """Bind a CR method name to a (key, s, var_cls, noise=None) -> (s, info)
+    function.  ``noise`` is one chain's slice of the pre-drawn noise pool
+    (draw_noise_pool) — absent, the sampler draws per-key."""
     if method == "exact":
-        return lambda key, s, var: cr_mod.exact_cr(key, model, var, bt_ninv_d)
+        return lambda key, s, var, noise=None: cr_mod.exact_cr(
+            key, model, var, bt_ninv_d, noise=noise)
     if method == "cg":
-        return lambda key, s, var: cr_mod.cg_cr(
+        return lambda key, s, var, noise=None: cr_mod.cg_cr(
             key, model, var, bt_ninv_d,
-            tol=opts.get("cg_tol", 1e-6), maxiter=opts.get("cg_maxiter", 4000))
+            tol=opts.get("cg_tol", 1e-6), maxiter=opts.get("cg_maxiter", 4000),
+            noise=noise)
     if method == "rjpo":
-        return lambda key, s, var: cr_mod.rjpo_cr(
+        return lambda key, s, var, noise=None: cr_mod.rjpo_cr(
             key, model, var, bt_ninv_d, s,
-            tol=opts.get("cg_tol", 1e-5), maxiter=opts.get("cg_maxiter", 4000))
+            tol=opts.get("cg_tol", 1e-5), maxiter=opts.get("cg_maxiter", 4000),
+            noise=noise)
     if method == "aux_gibbs":
-        return lambda key, s, var: cr_mod.aux_gibbs_cr(
-            key, model, var, bt_ninv_d, s, n_gibbs=opts.get("n_gibbs", 1))
-    if method == "overrelax":
-        return lambda key, s, var: cr_mod.overrelax_cr(
-            key, model, var, bt_ninv_d, s, alpha=opts.get("alpha", -0.995))
-    if method == "mala":
-        return lambda key, s, var: cr_mod.mala_cr(
-            key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),
-            accept=True)
-    if method == "ula":
-        return lambda key, s, var: cr_mod.mala_cr(
-            key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),
-            accept=opts.get("ula_mh_correct", True))
-    if method == "aux_mala":
-        return lambda key, s, var: cr_mod.aux_then_mala_cr(
+        return lambda key, s, var, noise=None: cr_mod.aux_gibbs_cr(
             key, model, var, bt_ninv_d, s, n_gibbs=opts.get("n_gibbs", 1),
-            tau=opts.get("tau", 0.02))
+            noise=noise)
+    if method == "overrelax":
+        return lambda key, s, var, noise=None: cr_mod.overrelax_cr(
+            key, model, var, bt_ninv_d, s, alpha=opts.get("alpha", -0.995),
+            noise=noise)
+    if method == "mala":
+        return lambda key, s, var, noise=None: cr_mod.mala_cr(
+            key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),
+            accept=True, noise=noise)
+    if method == "ula":
+        return lambda key, s, var, noise=None: cr_mod.mala_cr(
+            key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),
+            accept=opts.get("ula_mh_correct", True), noise=noise)
+    if method == "aux_mala":
+        return lambda key, s, var, noise=None: cr_mod.aux_then_mala_cr(
+            key, model, var, bt_ninv_d, s, n_gibbs=opts.get("n_gibbs", 1),
+            tau=opts.get("tau", 0.02), noise=noise)
     if method == "pcn":
-        return lambda key, s, var: cr_mod.pcn_cr(
-            key, model, var, bt_ninv_d, s, beta=opts.get("beta", 0.1))
+        return lambda key, s, var, noise=None: cr_mod.pcn_cr(
+            key, model, var, bt_ninv_d, s, beta=opts.get("beta", 0.1),
+            noise=noise)
     raise ValueError(f"unknown CR method {method!r}; one of {CR_METHODS}")
 
 
@@ -162,8 +170,36 @@ class GibbsScheme:
             dtype=self.model.sht.dtype), self.var_cls(dl0))
         return GibbsState(s=s, dl=dl0)
 
-    def step(self, key, state: GibbsState):
+    def step(self, key, state: GibbsState, noise=None):
         raise NotImplementedError
+
+    def draw_noise_pool(self, key, nchains: int):
+        """Pre-draw the CR step's Gaussian fields for ALL chains from one
+        key: {kind: (nchains, K, *shape)}.  A single-key batched draw is
+        nearly free on TPU while the equivalent per-chain-key draws inside
+        the vmap cost ~17 ms per full-state field at production scale
+        (samplers.cr noise-pool notes; docs/PERF.md).  The scan body draws
+        this each iteration and vmaps the per-chain slices into ``step``."""
+        try:
+            spec = cr_mod.noise_pool_spec(self.cr_method,
+                                          dict(self.cr_options))
+        except KeyError:
+            return {}
+        m = self.model
+        dt = m.sht.dtype
+        aux_shape = (tuple(m.w_cut.shape) if m.has_cut
+                     else tuple(m.noise.tau.shape))
+        shapes = {"state": (m.nfields, m.nstate),
+                  "aux": aux_shape,
+                  "pix": tuple(m.noise.tau.shape)}
+        pool = {}
+        keys = jax.random.split(key, 3)
+        for i, kind in enumerate(("state", "aux", "pix")):
+            k = int(spec.get(kind, 0))
+            if k:
+                pool[kind] = jax.random.normal(
+                    keys[i], (nchains, k) + shapes[kind], dtype=dt)
+        return pool
 
     # -- outer loop ------------------------------------------------------
 
@@ -210,7 +246,12 @@ def _scan_scheme_jit(scheme, states, keys):
     nchains = jax.tree.leaves(states)[0].shape[0]
 
     def one_iter(states, key):
-        ks = jax.random.split(key, nchains)
+        kn, kc = jax.random.split(key)
+        pool = (scheme.draw_noise_pool(kn, nchains)
+                if hasattr(scheme, "draw_noise_pool") else {})
+        ks = jax.random.split(kc, nchains)
+        if pool:
+            return jax.vmap(scheme.step)(ks, states, pool)
         return jax.vmap(scheme.step)(ks, states)
 
     return jax.lax.scan(one_iter, states, keys)
@@ -228,9 +269,10 @@ class CenteredGibbs(GibbsScheme):
     """CR step + conjugate inverse-gamma C_ell step (reference:
     CenteredGibbs.py:859-876)."""
 
-    def step(self, key, state: GibbsState):
+    def step(self, key, state: GibbsState, noise=None):
         k1, k2 = jax.random.split(key)
-        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
+        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl),
+                                   noise)
         dl = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
         info = {"dl": dl, "cr_accept": cr_info.accept}
         return GibbsState(s=s, dl=dl), info
@@ -270,12 +312,12 @@ class NonCenteredGibbs(GibbsScheme):
         s_nc = cls_mod.whiten(st.s, st.dl, self.bins_list, self.lmax)
         return GibbsState(s=s_nc, dl=st.dl)
 
-    def step(self, key, state: GibbsState):
+    def step(self, key, state: GibbsState, noise=None):
         k1, k2 = jax.random.split(key)
         # centered CR draw at current spectrum, then whiten
         s, cr_info = self._cr_step(
             k1, cls_mod.recenter(state.s, state.dl, self.bins_list, self.lmax),
-            self.var_cls(state.dl))
+            self.var_cls(state.dl), noise)
         s_nc = cls_mod.whiten(s, state.dl, self.bins_list, self.lmax)
         dl, mh_info = _nc_cls_step(self, k2, state.dl, s_nc)
         info = {"dl": dl, "cr_accept": cr_info.accept,
@@ -313,9 +355,10 @@ class ASISGibbs(GibbsScheme):
                             and _cut_mh_eligible(self.model, self.blocks_list,
                                                  self.all_sph))
 
-    def step(self, key, state: GibbsState):
+    def step(self, key, state: GibbsState, noise=None):
         k1, k2, k3 = jax.random.split(key, 3)
-        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
+        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl),
+                                   noise)
         dl_c = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
         s_nc = cls_mod.whiten(s, dl_c, self.bins_list, self.lmax)
         dl, mh_info = _nc_cls_step(self, k3, dl_c, s_nc)
@@ -363,9 +406,10 @@ class PNCPGibbs(GibbsScheme):
         low = expand_cl_state(ell_low, self.lmax) > 0
         return jnp.where(low[None, :], 1.0, var)
 
-    def step(self, key, state: GibbsState):
+    def step(self, key, state: GibbsState, noise=None):
         k1, k2, k3 = jax.random.split(key, 3)
-        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl))
+        s, cr_info = self._cr_step(k1, state.s, self.var_cls(state.dl),
+                                   noise)
         # low-l: centered conjugate draw
         dl_c = cls_mod.centered_cls_sample(k2, s, self.bins_list, self.lmax)
         dl = tuple(
