@@ -63,6 +63,11 @@ class RunConfig:
     all_sph: bool = False
     cut: bool = True                     # cut-sky complement decomposition
                                          # on masked quadrature grids
+    proposal_from: str = ""              # path to a previous run's results
+                                         # npz: pool its chains into MH
+                                         # proposal sigmas (the reference's
+                                         # two-phase preliminary-run workflow,
+                                         # config.py:136-225)
     out: str = "run_results.npz"
 
     def bins_list(self):
@@ -128,6 +133,18 @@ def _build(cfg: RunConfig):
                                    model.noise.omega, cfg.lmax, b,
                                    f_sky=float(f_sky[min(f, len(f_sky) - 1)]))
            for f, b in enumerate(bins_list)]
+    if cfg.proposal_from:
+        # preliminary-run reload: pool a previous run's chains into the
+        # proposal scales (reference: get_proposal_variances_preliminary,
+        # config.py:136-225)
+        from ..parallel.adapt import proposal_sigmas_from_results
+        sig = proposal_sigmas_from_results(cfg.proposal_from,
+                                           nfields=len(bins_list))
+        if len(sig) != len(bins_list) or any(
+                len(s) != len(b) - 1 for s, b in zip(sig, bins_list)):
+            raise ValueError(
+                f"proposal_from={cfg.proposal_from!r} has incompatible "
+                f"binning for this config")
 
     kw = dict(cr_method=cfg.cr_method, cr_options=dict(cfg.cr_options))
     d_alm = None

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["analytic_proposal_sigma", "pooled_proposal_sigmas",
-           "adapt_segments"]
+           "proposal_sigmas_from_results", "adapt_segments"]
 
 
 def analytic_proposal_sigma(bl, noise_sigma2, omega, lmax: int, bins,
@@ -75,28 +75,43 @@ def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
     segment), and return the tuned sigmas plus the warm state.
 
     make_scheme(prop_sigma_list) -> scheme with an MH C_ell step.
-    """
+
+    The rescale toward the target acceptance window is applied *per block*
+    from the per-block acceptance histories — the reference's workflow
+    hand-tunes per-block fudge factors exactly this way
+    (config.py:192-225) — falling back to one global factor when the
+    scheme exposes no block structure."""
     import jax
+
+    def _factor(acc):
+        lo, hi = target_accept
+        if acc < lo:
+            return max(acc / lo, 0.3)
+        if acc > hi:
+            return min(1.0 + (acc - hi) * 2.0, 3.0)
+        return 1.0
 
     sig = [np.asarray(s, dtype=np.float64) for s in sigma0_list]
     out = None
     for seg in range(n_segments):
         key, krun = jax.random.split(key)
         scheme = make_scheme([s.copy() for s in sig])
+        blocks_list = getattr(scheme, "blocks_list", None)
         out = scheme.run(krun, dl_init_tuple, n_iter=seg_iters,
                          nchains=nchains)
         new_sig = []
         for f, chain in enumerate(out["dl_chains"]):
             base = pooled_proposal_sigmas(np.asarray(chain))
-            acc = np.asarray(out["mh_accept"][f]).mean() \
-                if "mh_accept" in out else 0.3
-            # gentle global rescale toward the target acceptance window
-            lo, hi = target_accept
-            factor = 1.0
-            if acc < lo:
-                factor = max(acc / lo, 0.3)
-            elif acc > hi:
-                factor = min(1.0 + (acc - hi) * 2.0, 3.0)
+            factor = np.ones_like(base)
+            if "mh_accept" in out and blocks_list is not None:
+                # (nchains, n_iter, nblocks_f) -> per-block acceptance
+                acc_b = np.asarray(out["mh_accept"][f]).reshape(
+                    -1, len(blocks_list[f])).mean(axis=0)
+                for (blo, bhi), a in zip(blocks_list[f], acc_b):
+                    factor[blo:bhi] = _factor(float(a))
+            elif "mh_accept" in out:
+                factor[:] = _factor(float(np.asarray(
+                    out["mh_accept"][f]).mean()))
             new_sig.append(np.maximum(base * factor, 1e-12))
         sig = new_sig
         dl_init_tuple = tuple(

@@ -198,15 +198,33 @@ def cg_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old=None,
 
 def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
             tol=1e-5, maxiter=4000, noise=None):
-    """RJPO: solve the fluctuated system approximately (seeded at the current
-    state) and Metropolis-correct with the residual:
+    """RJPO: solve the fluctuated system approximately and Metropolis-correct
+    with the residual:
     log alpha = -<r, s_old - s_hat>, r = b - Q s_hat
-    (reference: CenteredGibbs.py:162-191 TT, :606-674 pol)."""
+    (reference: CenteredGibbs.py:162-191 TT, :606-674 pol).
+
+    The solver is seeded at MINUS the current state, matching the reference
+    exactly (CenteredGibbs.py:161-163: ``soltn_complex =
+    -real_to_complex(s_old)``) — and that sign is load-bearing, not a
+    quirk: (P)CG leaves its final residual orthogonal to the Krylov span,
+    and s_hat - x0 lies in that span, so
+
+        log alpha = -<r, s_old - s_hat> = <r, x0 - s_old>
+
+    vanishes IDENTICALLY when x0 = +s_old (measured: log_ratio == 0 and
+    accept == 1 at every budget down to maxiter = 1, i.e. a silently
+    uncorrected truncated solve — an invalid kernel at loose tolerance).
+    With x0 = -s_old the correction is <r, -2 s_old>, a genuine measure of
+    the unconverged residual: measured accept == 1 once the solve is tight
+    (maxiter ~ 40 here) and ~0 when it is not (median log_ratio -244 at
+    maxiter = 10 on the lmax=8 masked test model) — RJPO degenerates to a
+    convergence gate, which is exactly the reference's behavior and keeps
+    the kernel invariant at every budget."""
     kb, ka = jax.random.split(key)
     inv_cvar = _safe_inv(var_cls)
     b = fluctuated_rhs(kb, model, var_cls, bt_ninv_d, noise=noise)
     op = _q_op(model, inv_cvar)
-    s_hat, info = cg_solve(op, b, x0=s_old * _active(var_cls),
+    s_hat, info = cg_solve(op, b, x0=-s_old * _active(var_cls),
                            precond_diag=cr_precond(model, var_cls),
                            tol=tol, maxiter=maxiter, ndim_sys=2)
     s_hat = s_hat * _active(var_cls)

@@ -145,6 +145,36 @@ def test_rjpo_accepts_with_tight_solver():
     assert float(jnp.mean(acc)) == 1.0
 
 
+def test_rjpo_loose_solver_correction_is_active():
+    """maxiter = 10 (an unconverged solve): the -s_old seeding must make
+    the residual correction ACTIVE — strictly negative log-ratios that
+    reject the inexact proposals (RJPO as a convergence gate, the
+    reference's behavior).  Pins the seeding analysis in rjpo_cr's
+    docstring: with the degenerate +s_old seed, PCG orthogonality makes
+    log_ratio identically 0 and every inexact solve would be silently
+    accepted."""
+    model, _, fields = make_model(spin=0, mask=None)
+    mask = ring_mask(model)
+    model, _, fields = make_model(spin=0, mask=mask)
+    var = var_cls_of(model, fields)
+    bt = model.bt_ninv_d()
+    nch = 64
+    keys = jax.random.split(jax.random.PRNGKey(8), nch)
+    ref_draws = jax.vmap(lambda k: cg_cr(k, model, var, bt,
+                                         tol=1e-10)[0])(keys)
+    keys2 = jax.random.split(jax.random.PRNGKey(9), nch)
+    moved, info = jax.vmap(lambda k, s: rjpo_cr(k, model, var, bt, s,
+                                                tol=0.0, maxiter=10))(
+        keys2, ref_draws)
+    # the correction is far from the +s_old degenerate identically-0 case
+    assert float(jnp.median(info.extra)) < -1.0
+    # and rejected chains stay exactly put (kernel trivially invariant)
+    rej = np.asarray(info.accept) == 0.0
+    assert rej.any()
+    np.testing.assert_array_equal(np.asarray(moved)[rej],
+                                  np.asarray(ref_draws)[rej])
+
+
 def test_aux_gibbs_preserves_posterior():
     """The aux-variable sweep has the CR conditional as its stationary
     distribution: moments after sweeps started from exact draws must match

@@ -118,6 +118,38 @@ def test_analytic_proposal_sigma_formula():
         np.testing.assert_allclose(sig[b], expect, rtol=1e-12)
 
 
+def test_preliminary_run_proposal_reload(tmp_path):
+    """Two-phase workflow round trip (reference: config.py:136-225):
+    run a preliminary experiment, pool its saved chains into proposal
+    sigmas, feed them to a second run via RunConfig.proposal_from."""
+    from gibbssampler_tpu.parallel import proposal_sigmas_from_results
+    out1 = str(tmp_path / "prelim.npz")
+    # noise-dominated regime (the regime the pooled-variance proposal rule
+    # is built for — the reference tunes the high-l blocks this way): at
+    # lmax=12 the example spectrum needs a large pixel noise to dominate
+    # single-bin blocks: the 2.38 sd rule is the 1-d random-walk optimum
+    # (the reference's production high-l blocks are single-bin too)
+    cfg1 = RunConfig(lmax=12, spin=0, scheme="asis", cr_method="exact",
+                     n_iter=60, nchains=4, segment=60, dtype="float64",
+                     out=out1, all_sph=True, noise_sigma2=5e3, blocks_size=1)
+    run_experiment(cfg1, verbose=lambda *a: None)
+    sig = proposal_sigmas_from_results(out1, nfields=1)
+    assert len(sig) == 1 and sig[0].shape == (11,) and (sig[0] > 0).all()
+    # pins the pooled computation: 2.38 * sd over (chains x post-burn iters)
+    z = np.load(out1)
+    c = z["dl_chain_0"][:, 12:].reshape(-1, 11)
+    np.testing.assert_allclose(
+        sig[0], np.maximum(2.38 * c.std(axis=0), 1e-12), rtol=1e-12)
+    # phase two: the tuned run completes with sane acceptance
+    out2 = str(tmp_path / "tuned.npz")
+    cfg2 = RunConfig(**{**cfg1.__dict__, "out": out2, "proposal_from": out1,
+                        "n_iter": 30, "segment": 30, "seed": 3})
+    run_experiment(cfg2, verbose=lambda *a: None)
+    z2 = np.load(out2)
+    assert np.isfinite(z2["dl_chain_0"]).all()
+    assert z2["mh_accept_0"].mean() > 0.05
+
+
 def test_runner_saves_acceptance_histories(tmp_path):
     """The results npz carries per-block MH and per-iteration CR acceptance
     arrays, like the reference's result dict (main_polarization.py:175-185)."""
