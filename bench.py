@@ -135,11 +135,12 @@ def build():
         grid=grid, sht=sht)
     # the CPU baseline stands in for the reference stack, which always
     # transforms the full sphere — never attach our cut decomposition there
-    if (GRID != "healpix" and int(os.environ.get("BENCH_CUT", "1"))
-            and not BASELINE_MODE):
+    if int(os.environ.get("BENCH_CUT", "1")) and not BASELINE_MODE:
         # cut-sky complement decomposition: masked operators through
-        # transforms over the masked rings only (exact on the quadrature
-        # grid; ops.model.with_cut_decomposition, validated in tests)
+        # transforms over the masked rings only (exact on the GL quadrature
+        # grid; on HEALPix the smooth full-sphere terms use the reference's
+        # own iter=0 omega algebra — ops.model.with_cut_decomposition,
+        # both validated in tests/test_cut.py)
         from gibbssampler_tpu.ops import with_cut_decomposition
         model = with_cut_decomposition(model)
         log(f"cut decomposition: {model.cut_sht.grid.nrings} of "

@@ -101,6 +101,11 @@ def _build(cfg: RunConfig):
             dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
             fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype,
             sht=sht)
+        if cfg.cut and mask is not None:
+            # belt-row cut decomposition (omega-level full-sphere algebra,
+            # the reference's own HEALPix approximation; ops.model)
+            from ..ops import with_cut_decomposition
+            model = with_cut_decomposition(model)
     else:
         mask = None
         if cfg.mask_band_deg > 0:

@@ -28,7 +28,7 @@ from ..sht.transform import SHT
 from ..utils.pytree import register_arrays_pytree
 from .noise import NoiseModel
 
-__all__ = ["SkyModel", "with_cut_decomposition"]
+__all__ = ["SkyModel", "with_cut_decomposition", "healpix_belt_rows"]
 
 
 @dataclass(frozen=True)
@@ -279,20 +279,41 @@ def _cut_terms_cached(model: SkyModel):
 def with_cut_decomposition(model: SkyModel) -> SkyModel:
     """Attach the cut-sky complement decomposition to a masked model.
 
-    Requires an iso-latitude quadrature grid (GL; A^T diag(q) A = I/omega
-    exactly) and per-field noise that is *uniform on unmasked pixels*
+    Requires per-field noise that is *uniform on unmasked pixels*
     (tau = tau_max wherever the mask is 1) — the reference's model exactly
     (N = sigma^2 I times a mask, ClsSampler.py:28-33).  The masked rings
     ("cut" rows: any pixel with tau < tau_max) get their own SHT; masked
     operators then cost one transform over ~(1 - f_sky) of the rings instead
-    of the full sphere."""
+    of the full sphere.
+
+    - On an iso-latitude quadrature grid (GL) the decomposition is EXACT:
+      A^T diag(tau_bar q) A = (tau_bar/omega) I to machine precision.
+    - On a HEALPix grid (the reference's production grid) the same identity
+      holds only at the level the reference itself assumes everywhere
+      (A^T A ~= Npix/(4 pi) I, the iter=0 map2alm algebra of its full-sky
+      solves, aux conditionals and all_sph likelihoods; reference:
+      config.py:72-73, CenteredGibbs.py:108-132,:676-729,
+      NonCenteredGibbs.py:357-377).  The pieces supported on the masked
+      pixels (the aux-field conditionals' gap operator, the cut residual
+      terms, the rank-one MH correction's cut part) are exact on any grid;
+      only the smooth full-sphere quadratic terms carry the HEALPix
+      quadrature error (measured at the 1e-3..1e-2 relative level near
+      lmax = 2 nside; tests/test_cut.py pins it).  See _healpix_cut for the
+      belt-rows-only constraint."""
+    from ..sht.healpix import HealpixSHT
+
+    if isinstance(model.sht, HealpixSHT):
+        return _healpix_cut(model)
+    return _quadrature_cut(model)
+
+
+def _quadrature_cut(model: SkyModel) -> SkyModel:
     import dataclasses as _dc
     from ..sht.grids import SphereGrid, subgrid_rows
 
     if model.map_ndim != 2 or not isinstance(model.sht.grid, SphereGrid):
         raise ValueError("cut decomposition needs an iso-latitude "
-                         "quadrature grid (GL); HEALPix analysis is not an "
-                         "exact inverse so the identity does not hold")
+                         "quadrature grid (GL) or a HEALPix grid")
     noise = model.noise
     tau = np.asarray(noise.tau)                      # (nf, nr, nphi)
     q = np.asarray(noise.q_map)
@@ -317,6 +338,98 @@ def with_cut_decomposition(model: SkyModel) -> SkyModel:
                else jnp.asarray(np.asarray(model.d)[..., rows, :],
                                 dtype=dt)),
         w_cut=jnp.asarray(w[:, rows, :], dtype=dt),
+    )
+    if model.d is not None:
+        c0, c1 = _cut_terms_cached(out)
+        out = _dc.replace(out, cut_c0=c0, cut_c1=c1)
+    return out
+
+
+def healpix_belt_rows(sht, cols):
+    """Map a set of flat pixel positions (in the sht's map layout) to the
+    equatorial-belt rings containing them.  Returns (rows, idx): global ring
+    indices and an (nrows, 4 nside) matrix of each ring's pixel positions in
+    the layout.  Raises if any position lies on a cap ring (caps have
+    varying ring lengths, so they cannot share the uniform-nphi cut
+    transform)."""
+    cols = np.asarray(cols)
+    nb = 4 * sht.nside
+    if getattr(sht, "layout", "ring") == "padded":
+        belt_lo = sht._belt_off
+        belt_hi = sht._belt_off + sht.nbelt * nb
+        if (cols < belt_lo).any() or (cols >= belt_hi).any():
+            raise ValueError("HEALPix cut decomposition supports masks on "
+                             "equatorial-belt rings only (cap rings have "
+                             "varying ring lengths); use the full-transform "
+                             "paths for this mask")
+        rows = np.unique((cols - belt_lo) // nb) + sht.ncap   # global rings
+        idx = (belt_lo + (rows[:, None] - sht.ncap) * nb
+               + np.arange(nb)[None, :])
+    else:
+        start = np.asarray(sht.geo.ring_start)
+        ring_of = np.searchsorted(start, cols, side="right") - 1
+        if (ring_of < sht.ncap).any() or \
+                (ring_of >= sht.ncap + sht.nbelt).any():
+            raise ValueError("HEALPix cut decomposition supports masks on "
+                             "equatorial-belt rings only (cap rings have "
+                             "varying ring lengths); use the full-transform "
+                             "paths for this mask")
+        rows = np.unique(ring_of)
+        idx = start[rows][:, None] + np.arange(nb)[None, :]
+    return rows, idx
+
+
+def _healpix_cut(model: SkyModel) -> SkyModel:
+    """HEALPix cut decomposition: the masked pixels must all lie on
+    equatorial-belt rings (the production galactic cut does; reference mask:
+    config.py:22-28).  Belt rings share one uniform nphi = 4 nside and are
+    iso-latitude, so the cut transform is a plain :class:`~.transform.SHT`
+    over those rings built with ``allow_aliasing=True`` (synthesis and its
+    transpose are exact pointwise on any nphi; nphi = 2 lmax < 2 lmax + 2
+    here).  Cap-ring masks (varying ring length) are rejected — fall back
+    to the full-transform paths for those."""
+    import dataclasses as _dc
+    from ..sht.grids import SphereGrid
+    from ..sht.transform import SHT
+
+    sht = model.sht
+    geo = sht.geo
+    noise = model.noise
+    tau = np.asarray(noise.tau)                       # (nf, npix_layout)
+    q = np.asarray(noise.q_map)
+    tau_bar = tau.max(axis=1)
+    w = q * (tau_bar[:, None] - tau)
+    w = np.maximum(w, 0.0)
+    cols = np.where(np.any(w > 1e-12 * tau_bar.max(), axis=0))[0]
+    if cols.size == 0:
+        raise ValueError("model has no masked pixels; cut decomposition "
+                         "is pointless on the full sky")
+    rows, idx = healpix_belt_rows(sht, cols)
+    nb = 4 * sht.nside
+
+    import hashlib
+    tag = hashlib.sha1(rows.tobytes()).hexdigest()[:10]
+    cut_grid = SphereGrid(
+        name=f"hpbelt{sht.nside}_rows{rows.size}_{tag}",
+        theta=np.asarray(geo.theta)[rows],
+        # weights chosen so pixel_area = the uniform HEALPix pixel area
+        # (only analysis would use them, and analysis is disabled under
+        # allow_aliasing)
+        weights=np.full(rows.size, geo.pixel_area * nb / (2.0 * np.pi)),
+        nphi=nb,
+        phi0=np.asarray(geo.phi0)[rows],
+    )
+    cut_sht = SHT(cut_grid, sht.lmax, dtype=sht.dtype,
+                  spin2=(model.spin >= 2), fft_mode="matmul",
+                  table_dtype=sht.table_dtype, m_block=sht.m_block,
+                  ring_split=False, allow_aliasing=True)
+    dt = sht.dtype
+    out = _dc.replace(
+        model,
+        cut_sht=cut_sht,
+        d_cut=(None if model.d is None
+               else jnp.asarray(np.asarray(model.d)[..., idx], dtype=dt)),
+        w_cut=jnp.asarray(w[:, idx], dtype=dt),
     )
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)

@@ -64,8 +64,9 @@ class SHT(LegendreCore):
     def __init__(self, grid: SphereGrid, lmax: int, dtype=jnp.float32,
                  spin2: bool = False, fft_mode: str = "matmul",
                  table_dtype=None, m_block: int = 128,
-                 ring_split: bool = False):
+                 ring_split: bool = False, allow_aliasing: bool = False):
         self.grid = grid
+        self.allow_aliasing = bool(allow_aliasing)
         # operator tables may be stored lower-precision (bfloat16) with
         # float32 MXU accumulation: halves the HBM traffic of the
         # bandwidth-bound Legendre stage; ~4e-3 relative operator error,
@@ -78,7 +79,11 @@ class SHT(LegendreCore):
         self.fft_mode = fft_mode
         self._constrain_F = None
         L = lmax + 1
-        if grid.nphi < 2 * lmax + 2:
+        if grid.nphi < 2 * lmax + 2 and not allow_aliasing:
+            # synthesis (pointwise evaluation) and its transpose are exact
+            # for ANY nphi; only analysis-as-inverse needs nphi > 2 lmax.
+            # allow_aliasing=True opts into the synthesis/adjoint-only use
+            # (e.g. the cut transform over HEALPix belt rows, nphi = 2 lmax).
             raise ValueError(
                 f"grid nphi={grid.nphi} too small for lmax={lmax}; need >= {2*lmax+2}")
 
@@ -209,6 +214,10 @@ class SHT(LegendreCore):
 
     def analysis_state(self, maps: jnp.ndarray) -> jnp.ndarray:
         """Exact inverse of synthesis_state on a quadrature grid."""
+        if self.allow_aliasing:
+            raise ValueError("analysis is not an inverse on an aliased "
+                             "(nphi <= 2 lmax) grid; only synthesis and "
+                             "adjoint_synthesis are exact here")
         return self._analysis_core_state(maps, self.wq)
 
     def adjoint_synthesis_state(self, maps: jnp.ndarray) -> jnp.ndarray:
@@ -347,6 +356,10 @@ class SHT(LegendreCore):
 
     def analysis_spin2_state(self, q_maps, u_maps):
         """Exact inverse: (Q, U) maps -> (E, B) grid-packed alm states."""
+        if self.allow_aliasing:
+            raise ValueError("analysis is not an inverse on an aliased "
+                             "(nphi <= 2 lmax) grid; only synthesis and "
+                             "adjoint_synthesis are exact here")
         return self._analysis_spin2_core(q_maps, u_maps, self.wq)
 
     def adjoint_synthesis_spin2_state(self, q_maps, u_maps):
@@ -462,7 +475,8 @@ register_arrays_pytree(
                   "par_sign", "_ct", "pack_in", "pack_out"),
     static_fields=("grid", "lmax", "dtype", "table_dtype", "fft_mode",
                    "has_phase", "nphi", "nphi_half", "nrings", "m_block",
-                   "ring_split", "nrh", "has_mid", "_constrain_F"),
+                   "ring_split", "nrh", "has_mid", "_constrain_F",
+                   "allow_aliasing"),
 )
 
 
