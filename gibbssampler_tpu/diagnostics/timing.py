@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 import jax
 
-__all__ = ["PhaseTimer", "profile_trace"]
+__all__ = ["PhaseTimer", "profile_trace", "step_phase_times"]
 
 
 @dataclass
@@ -46,6 +46,51 @@ class PhaseTimer:
                    "mean_ms": 1e3 * tot / self.counts[name]}
             for name, tot in self.totals.items()
         }
+
+
+_CR_ONLY_JIT = None
+_STEP_ONLY_JIT = None
+
+
+def step_phase_times(scheme, states, key, reps: int = 3):
+    """Fenced device time of the Gibbs sub-steps at the current state:
+    mean seconds of (a) the CR step alone and (b) the full iteration,
+    vmapped over the chain batch; the C_ell-step share is the difference.
+
+    This is the accelerator analogue of the reference's per-step wall/CPU
+    timers around each conditional (GibbsSampler.py:151-168, ASIS.py:92-123)
+    — under ``lax.scan`` individual iterations cannot be timed from the
+    host, so the runner records these fenced per-step means once per
+    segment instead (stored with the chain like the reference's duration
+    histories, main_polarization.py:175-185)."""
+    global _CR_ONLY_JIT, _STEP_ONLY_JIT
+    import jax.random as jr
+    if _CR_ONLY_JIT is None:
+        import jax as _jax
+
+        def _cr_only(scheme, keys, states):
+            return _jax.vmap(lambda k, st: scheme._cr_step(
+                k, st.s, scheme.var_cls(st.dl))[0])(keys, states)
+
+        def _step_only(scheme, keys, states):
+            return _jax.vmap(scheme.step)(keys, states)
+
+        _CR_ONLY_JIT = _jax.jit(_cr_only)
+        _STEP_ONLY_JIT = _jax.jit(_step_only)
+    from ..utils.exec_cache import cached_call
+    nchains = jax.tree_util.tree_leaves(states)[0].shape[0]
+    keys = jr.split(key, nchains)
+    out = {}
+    for name, fn in (("cr", _CR_ONLY_JIT), ("full", _STEP_ONLY_JIT)):
+        jax.block_until_ready(cached_call(fn, f"timeprobe_{name}",
+                                          scheme, keys, states))  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(cached_call(fn, f"timeprobe_{name}",
+                                              scheme, keys, states))
+        out[name] = (time.perf_counter() - t0) / reps
+    out["cls"] = max(out["full"] - out["cr"], 0.0)
+    return out
 
 
 @contextlib.contextmanager

@@ -48,9 +48,19 @@ class RunConfig:
                                          # | joint (spin=3, exact full sky)
     cr_method: str = "exact"             # see schemes.CR_METHODS
     cr_options: dict = field(default_factory=dict)
+    r_te: float = 0.0                    # TE correlation for spin=3 data:
+                                         # D_TE = r_te sqrt(D_TT D_EE); the
+                                         # simulated fields are drawn
+                                         # correlated (synfast_joint) and the
+                                         # joint scheme recovers the blocks
     noise_sigma2: float = 1.0            # reference: 40^2 TT / 0.2^2 pol
     fwhm_deg: float = 0.0                # reference: 0.5 deg
     mask_band_deg: float = 0.0           # analytic galactic cut half-width
+    mask_fits: str = ""                  # HEALPix mask FITS file (RING or
+                                         # NESTED), ud_graded to the run's
+                                         # nside — the reference's real-mask
+                                         # pipeline (config.py:22-28,126-128);
+                                         # healpix grid only
     bins: Optional[np.ndarray] = None    # default: unit bins from l=2
     blocks_size: int = 8                 # MH block width in bins
     n_iter_mh: int = 1
@@ -63,6 +73,11 @@ class RunConfig:
     all_sph: bool = False
     cut: bool = True                     # cut-sky complement decomposition
                                          # on masked quadrature grids
+    time_steps: bool = False             # fenced per-phase (CR / C_ell) step
+                                         # timings once per segment, stored
+                                         # with the chain (the reference's
+                                         # per-step duration histories,
+                                         # GibbsSampler.py:151-168)
     proposal_from: str = ""              # path to a previous run's results
                                          # npz: pool its chains into MH
                                          # proposal sigmas (the reference's
@@ -88,25 +103,51 @@ def _build(cfg: RunConfig):
     else:
         fields = np.stack([example_dl(cfg.lmax, "ee", amp=1000.0),
                            example_dl(cfg.lmax, "bb", amp=1000.0)])
+    dl_blocks = None
+    if cfg.r_te != 0.0:
+        if cfg.spin != 3:
+            raise ValueError("r_te requires spin=3 (joint TQU data)")
+        dl_blocks = np.zeros((cfg.lmax + 1, 3, 3))
+        for f in range(3):
+            dl_blocks[:, f, f] = fields[f]
+        te = cfg.r_te * np.sqrt(fields[0] * fields[1])
+        dl_blocks[:, 0, 1] = dl_blocks[:, 1, 0] = te
     if cfg.grid == "healpix":
         from ..sht.healpix import make_healpix_sht
-        from ..sht.healpix_pix import galactic_band_mask
+        from ..sht.healpix_pix import galactic_band_mask, ud_grade
         nside = cfg.nside or max(cfg.lmax // 2, 1)
         sht = make_healpix_sht(nside, cfg.lmax, dtype=dtype,
                                spin2=(cfg.spin >= 2))
-        mask = (galactic_band_mask(nside, cfg.mask_band_deg)
-                if cfg.mask_band_deg > 0 else None)
+        if cfg.mask_fits:
+            # the reference's real-mask pipeline: read the HEALPix FITS
+            # mask and ud_grade it to the analysis nside
+            # (config.py:22-28,126-128); fractional boundary values scale
+            # N^-1 exactly like the reference's N^-1 * mask
+            from .fits_io import read_healpix_map
+            mask_in, _ = read_healpix_map(cfg.mask_fits)
+            mask = ud_grade(mask_in, nside)
+        else:
+            mask = (galactic_band_mask(nside, cfg.mask_band_deg)
+                    if cfg.mask_band_deg > 0 else None)
         model, truth = simulate_dataset(
             jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
             dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
             fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype,
-            sht=sht)
+            sht=sht, dl_blocks=dl_blocks)
         if cfg.cut and mask is not None:
             # belt-row cut decomposition (omega-level full-sphere algebra,
-            # the reference's own HEALPix approximation; ops.model)
+            # the reference's own HEALPix approximation; ops.model).  Real
+            # masks can have zeros off the equatorial belt (point-source
+            # holes, cap cuts): those fall back to the full-transform paths.
             from ..ops import with_cut_decomposition
-            model = with_cut_decomposition(model)
+            try:
+                model = with_cut_decomposition(model)
+            except ValueError:
+                pass
     else:
+        if cfg.mask_fits:
+            raise ValueError("mask_fits requires grid='healpix' (HEALPix "
+                             "pixel masks); use mask_band_deg on the GL grid")
         mask = None
         if cfg.mask_band_deg > 0:
             from ..sht import gauss_legendre_grid
@@ -117,7 +158,8 @@ def _build(cfg: RunConfig):
         model, truth = simulate_dataset(
             jax.random.PRNGKey(cfg.seed), cfg.lmax, spin=cfg.spin,
             dl_fields=fields, noise_sigma2=cfg.noise_sigma2,
-            fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype)
+            fwhm_radians=np.radians(cfg.fwhm_deg), mask=mask, dtype=dtype,
+            dl_blocks=dl_blocks)
         if cfg.cut and mask is not None:
             from ..ops import with_cut_decomposition
             model = with_cut_decomposition(model)
@@ -164,7 +206,9 @@ def _build(cfg: RunConfig):
             raise ValueError("scheme='joint' requires spin=3 (TQU)")
         from ..schemes import JointCenteredGibbs
         from ..harmonics.spectra import dl_to_cl_factor
-        scheme = JointCenteredGibbs(model)
+        scheme = JointCenteredGibbs(
+            model, cr_method=("cg" if cfg.cr_method == "cg" else "exact"),
+            cr_options=dict(cfg.cr_options))
         # initial blocks: diagonal from the per-field theory D_ell
         fac = np.asarray(dl_to_cl_factor(cfg.lmax, jnp.float64))
         C0 = np.zeros((cfg.lmax + 1, 3, 3))
@@ -247,6 +291,7 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
     accepts = []
     cr_hist = []          # per-iteration CR acceptance (nchains, n_iter)
     mh_hist = None        # per-field per-block MH acceptance histories
+    phase_times = []      # per-segment fenced (cr, cls, full) step seconds
     while iters_done < cfg.n_iter:
         seg = min(cfg.segment, cfg.n_iter - iters_done)
         key, krun = jax.random.split(key)
@@ -271,6 +316,11 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
                   [np.concatenate([c, s], axis=1)
                    for c, s in zip(chains, seg_chains)])
         iters_done += seg
+        if cfg.time_steps:
+            from ..diagnostics import step_phase_times
+            key, kt = jax.random.split(key)
+            pt = step_phase_times(scheme, states, kt)
+            phase_times.append((pt["cr"], pt["cls"], pt["full"]))
         save_checkpoint(ckpt_path, key, jax.tree.map(lambda a: a, states),
                         chains, iters_done)
         verbose(f"segment done: {iters_done}/{cfg.n_iter} iters "
@@ -288,6 +338,14 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
     # result dict (main_polarization.py:175-185)
     if cr_hist:
         results["cr_accept_chain"] = np.concatenate(cr_hist, axis=1)
+    if phase_times:
+        # per-segment fenced device seconds of the CR step / C_ell step /
+        # full iteration (diagnostics.step_phase_times; the reference's
+        # per-step timer histories, GibbsSampler.py:151-168)
+        pt = np.asarray(phase_times)
+        results["step_time_cr"] = pt[:, 0]
+        results["step_time_cls"] = pt[:, 1]
+        results["step_time_full"] = pt[:, 2]
     if mh_hist is not None:
         for f, m in enumerate(mh_hist):
             results[f"mh_accept_{f}"] = m

@@ -63,15 +63,26 @@ def synfast(key, dl_fields, sht: SHT, spin: int):
 
 
 @jax.jit
-def _simulate_core(sht, noise, bl, key, dl_fields, mask_arr):
+def _simulate_core(sht, noise, bl, key, dl_fields, mask_arr, dl_blocks=None):
     lmax = sht.lmax
     spin = {1: 0, 2: 2, 3: 3}[dl_fields.shape[0]]
     """One compiled unit for the whole simulation pipeline (eager op-by-op
     dispatch costs seconds per primitive through remote-compile backends)."""
     ksky, knoise = jax.random.split(key)
-    var = jax.vmap(lambda dd: variance_expansion_state(dd, lmax))(dl_fields)
-    alm_true = jnp.sqrt(var) * jax.random.normal(
-        ksky, var.shape, dtype=bl.dtype)
+    if dl_blocks is not None:
+        # correlated fields from per-ell D_ell covariance blocks (e.g. a
+        # nonzero TE): s = L_ell xi per slot via samplers.synfast_joint
+        from ..samplers.joint import synfast_joint
+        ell = jnp.arange(lmax + 1, dtype=bl.dtype)
+        cl_fac = jnp.where(ell >= 2, 2.0 * jnp.pi
+                           / jnp.where(ell >= 2, ell * (ell + 1.0), 1.0), 0.0)
+        alm_true = synfast_joint(ksky, dl_blocks * cl_fac[:, None, None],
+                                 lmax, dtype=bl.dtype)
+    else:
+        var = jax.vmap(lambda dd: variance_expansion_state(dd, lmax))(
+            dl_fields)
+        alm_true = jnp.sqrt(var) * jax.random.normal(
+            ksky, var.shape, dtype=bl.dtype)
     alm_beamed = almxfl_state(alm_true, bl, lmax)
     if spin == 0:
         sky = sht.synthesis_state(alm_beamed[0])[None]
@@ -92,12 +103,18 @@ def _simulate_core(sht, noise, bl, key, dl_fields, mask_arr):
 
 def simulate_dataset(key, lmax: int, spin: int, dl_fields,
                      noise_sigma2, fwhm_radians: float = 0.0,
-                     mask=None, dtype=jnp.float32, grid=None, sht=None):
+                     mask=None, dtype=jnp.float32, grid=None, sht=None,
+                     dl_blocks=None):
     """Simulate d = A B s + n and return a ready-to-sample SkyModel.
 
     Mirrors the reference pipeline (generate_dataset,
     main_polarization.py:25-59): theory D_l -> beam-smoothed Gaussian sky ->
-    white noise -> optional mask; returns (model, truth dict)."""
+    white noise -> optional mask; returns (model, truth dict).
+
+    dl_blocks: optional (lmax+1, nfields, nfields) per-ell D_ell covariance
+    blocks — draws the fields *correlated* (e.g. a nonzero TE, the joint
+    model the reference scaffolded with its 3x3 variance kernel,
+    variance_expension.pyx:36-61).  The diagonal must equal dl_fields."""
     if sht is None:
         sht = make_sht(lmax, grid=grid, dtype=dtype, spin2=(spin >= 2))
     bl = gauss_beam(fwhm_radians, lmax, dtype=dtype) if fwhm_radians > 0 \
@@ -116,8 +133,12 @@ def simulate_dataset(key, lmax: int, spin: int, dl_fields,
         noise = NoiseModel.white(noise_sigma2, sht.grid, nfields=nf,
                                  mask=mask, dtype=dtype)
     from ..utils.exec_cache import cached_call
+    blocks = (None if dl_blocks is None
+              else jnp.asarray(np.asarray(dl_blocks), dtype=dtype))
     alm_true, sky, d = cached_call(_simulate_core, "sim", sht, noise, bl,
-                                   key, dl_fields, mask_arr)
+                                   key, dl_fields, mask_arr, blocks)
     model = SkyModel(sht=sht, noise=noise, bl=bl, spin=spin, d=d)
     truth = {"alm_true": alm_true, "dl_true": dl_fields, "sky": sky}
+    if blocks is not None:
+        truth["dl_blocks_true"] = blocks
     return model, truth

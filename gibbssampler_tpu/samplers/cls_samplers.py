@@ -485,7 +485,14 @@ def invwishart_cls_sample(key, s: jnp.ndarray, lmax: int, lmin: int = 2):
     # A A^T = Psi^-1 = S^-1; take A = cS^-T (cS = chol(S), lower), so
     # C = W^-1 = A^-T (L L^T)^-1 A^-1 = cS (L L^T)^-1 cS^T.
     eye = jnp.eye(k, dtype=dt)
-    Sreg = S + 1e-30 * eye
+    # relative diagonal jitter: at high SNR the fields' scatter can be
+    # correlation-degenerate (|r| -> 1) and an absolute epsilon is dwarfed
+    # by scatter scales ~1e3 muK^2 — chol's trailing pivot then goes
+    # negative by roundoff and the draw NaNs; 1e-9 relative per diagonal
+    # protects the pivot far below MC noise (plus 1e-30 for the all-zero
+    # sub-lmin rows)
+    diagS = jnp.diagonal(S, axis1=-2, axis2=-1)
+    Sreg = S + jax.vmap(jnp.diag)(1e-9 * diagS + 1e-30)
     cS = jnp.linalg.cholesky(Sreg)
     LLT = Lmat @ jnp.swapaxes(Lmat, -1, -2)
     inv_LLT = jnp.linalg.inv(LLT + 1e-30 * eye)

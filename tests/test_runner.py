@@ -90,6 +90,33 @@ def test_run_experiment_healpix_grid(tmp_path):
     assert np.isfinite(z["dl_chain_0"]).all()
 
 
+def test_run_experiment_mask_fits(tmp_path):
+    """Real-mask pipeline end-to-end (reference: config.py:22-28,126-128):
+    a HEALPix mask written to FITS at a different nside is read back,
+    ud_graded to the analysis nside, and drives the masked run."""
+    from gibbssampler_tpu.inference.fits_io import write_healpix_map
+    from gibbssampler_tpu.inference.runner import _build
+    from gibbssampler_tpu.sht.healpix_pix import galactic_band_mask
+    fits = str(tmp_path / "mask.fits")
+    write_healpix_map(fits, galactic_band_mask(16, 15.0), ordering="RING")
+    out = str(tmp_path / "mf.npz")
+    cfg = RunConfig(lmax=16, spin=0, grid="healpix", nside=8,
+                    scheme="centered", cr_method="cg",
+                    cr_options={"cg_tol": 1e-7, "cg_maxiter": 300},
+                    mask_fits=fits, n_iter=10, nchains=2, segment=10,
+                    dtype="float64", out=out, noise_sigma2=5.0)
+    scheme, _, _ = _build(cfg)
+    f_sky = float(np.asarray(scheme.model.noise.f_sky)[0])
+    assert 0.5 < f_sky < 0.95        # the FITS mask actually took effect
+    run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    assert z["dl_chain_0"].shape == (2, 10, 15)
+    assert np.isfinite(z["dl_chain_0"]).all()
+    # HEALPix pixel masks have no meaning on the GL quadrature grid
+    with pytest.raises(ValueError, match="mask_fits"):
+        _build(RunConfig(lmax=16, grid="gl", mask_fits=fits))
+
+
 def test_run_experiment_joint(tmp_path):
     out = str(tmp_path / "joint.npz")
     cfg = RunConfig(lmax=10, spin=3, scheme="joint", n_iter=20, nchains=2,
@@ -98,6 +125,53 @@ def test_run_experiment_joint(tmp_path):
     z = np.load(out)
     assert z["dl_chain_0"].shape == (2, 20, 11, 3, 3)
     assert np.isfinite(z["dl_chain_0"]).all()
+
+
+def test_run_experiment_joint_te_masked(tmp_path):
+    """TE-correlated data through the full runner pipeline on a MASKED sky:
+    simulate_dataset draws correlated TQU fields (synfast_joint) and the
+    joint scheme's block-preconditioned CG path recovers the TE correlation
+    (the reference's 3x3 scaffold intent, variance_expension.pyx:36-61)."""
+    out = str(tmp_path / "jte.npz")
+    r_te = 0.7
+    cfg = RunConfig(lmax=10, spin=3, scheme="joint", cr_method="cg",
+                    cr_options={"cg_tol": 1e-8, "cg_maxiter": 400},
+                    r_te=r_te, mask_band_deg=15.0, n_iter=150, nchains=4,
+                    dtype="float64", out=out, noise_sigma2=1e-3)
+    run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    chain = z["dl_chain_0"]                       # (4, 150, 11, 3, 3)
+    assert np.isfinite(chain).all()
+    post = chain[:, 50:].mean(axis=(0, 1))
+    r = post[4:, 0, 1] / np.sqrt(post[4:, 0, 0] * post[4:, 1, 1])
+    # high-SNR: the posterior TE correlation tracks the realization, whose
+    # per-ell scatter is ~sqrt((1-r^2)^2/(2l+1)); the ell-average pins r_te
+    assert abs(float(r.mean()) - r_te) < 0.25, r
+    # the uncorrelated default stays near zero on the same seed
+    out2 = str(tmp_path / "jte0.npz")
+    cfg0 = RunConfig(**{**cfg.__dict__, "r_te": 0.0, "out": out2,
+                        "n_iter": 100})
+    run_experiment(cfg0, verbose=lambda *a: None)
+    post0 = np.load(out2)["dl_chain_0"][:, 40:].mean(axis=(0, 1))
+    r0 = post0[4:, 0, 1] / np.sqrt(post0[4:, 0, 0] * post0[4:, 1, 1])
+    assert abs(float(r0.mean())) < 0.3, r0
+
+
+def test_runner_step_phase_times(tmp_path):
+    """time_steps=True stores fenced per-segment CR-step / C_ell-step device
+    times with the chain (the reference's per-step timer histories,
+    GibbsSampler.py:151-168)."""
+    out = str(tmp_path / "pt.npz")
+    cfg = RunConfig(lmax=12, spin=0, scheme="asis", cr_method="exact",
+                    n_iter=20, nchains=2, segment=10, dtype="float64",
+                    out=out, all_sph=True, noise_sigma2=50.0, blocks_size=4,
+                    time_steps=True)
+    run_experiment(cfg, verbose=lambda *a: None)
+    z = np.load(out)
+    assert z["step_time_cr"].shape == (2,)        # one entry per segment
+    assert z["step_time_cls"].shape == (2,)
+    assert (z["step_time_full"] > 0).all()
+    assert (z["step_time_cr"] >= 0).all() and (z["step_time_cls"] >= 0).all()
 
 
 def test_analytic_proposal_sigma_formula():
