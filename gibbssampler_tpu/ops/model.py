@@ -57,6 +57,10 @@ class SkyModel:
     w_cut: Optional[jnp.ndarray] = None   # q (tau_bar - tau) on cut rows >= 0
     cut_c0: Optional[jnp.ndarray] = None  # scalar: d^T N0^-1 d
     cut_c1: Optional[jnp.ndarray] = None  # (nfields, nstate): A^T N0^-1 d
+    # static: w_cut is constant along phi on every cut ring (true for the
+    # analytic galactic band cuts; enables the m-domain blocked-MH fast
+    # path, samplers.nc_cls_sample_cut)
+    cut_w_uniform: bool = False
 
     @property
     def lmax(self) -> int:
@@ -338,6 +342,8 @@ def _quadrature_cut(model: SkyModel) -> SkyModel:
                else jnp.asarray(np.asarray(model.d)[..., rows, :],
                                 dtype=dt)),
         w_cut=jnp.asarray(w[:, rows, :], dtype=dt),
+        cut_w_uniform=bool(np.allclose(w[:, rows, :], w[:, rows, :1],
+                                       rtol=0, atol=0)),
     )
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)
@@ -430,6 +436,8 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
         d_cut=(None if model.d is None
                else jnp.asarray(np.asarray(model.d)[..., idx], dtype=dt)),
         w_cut=jnp.asarray(w[:, idx], dtype=dt),
+        cut_w_uniform=bool(np.allclose(w[:, idx], w[:, idx[:, :1]],
+                                       rtol=0, atol=0)),
     )
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)
@@ -440,4 +448,4 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
 register_arrays_pytree(SkyModel,
                        array_fields=("sht", "noise", "bl", "d", "cut_sht",
                                      "d_cut", "w_cut", "cut_c0", "cut_c1"),
-                       static_fields=("spin",))
+                       static_fields=("spin", "cut_w_uniform"))

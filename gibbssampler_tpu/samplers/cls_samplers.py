@@ -241,8 +241,80 @@ def _per_ell(y, lmax):
     return y.reshape(y.shape[:-1] + (2, L, L)).sum(axis=(-3, -2))
 
 
+def _mdomain_eligible(model) -> bool:
+    """Static eligibility of the m-domain singles sweep: azimuthally
+    uniform cut weights (cut_w_uniform), dense (non-ring-split) cut tables,
+    and a cut-ring nphi >= 2 lmax so the ring Parseval identity is exact
+    (GL: nphi = 2 lmax + 2; HEALPix belt rows: nphi = 4 nside = 2 lmax,
+    exact through the Nyquist-column weights)."""
+    cut = model.cut_sht
+    return (getattr(model, "cut_w_uniform", False)
+            and cut is not None
+            and not getattr(cut, "ring_split", False)
+            and getattr(cut, "nphi", 0) >= 2 * model.lmax)
+
+
+def _prepare_mchunks(singles, single_rows, bins_list, chunk_size: int = 48):
+    """Static chunking of the single-bin blocks for the m-domain sweep:
+    field-pure chunks of at most chunk_size bins, each described by
+    (field, j_idx, seg, gbins, rows) with j_idx the chunk's selected ells,
+    seg the (J, nb) segment matrix (None when all bins are single ells)."""
+    groups = []
+    cur = None
+    for (f, lo, gi), row in zip(singles, single_rows):
+        bins_f = np.asarray(bins_list[f])
+        js = list(range(int(bins_f[lo]), int(bins_f[lo + 1])))
+        if cur is None or cur["f"] != f or len(cur["gbins"]) >= chunk_size:
+            cur = {"f": f, "j": [], "wid": [], "gbins": [], "rows": []}
+            groups.append(cur)
+        cur["j"].extend(js)
+        cur["wid"].append(len(js))
+        cur["gbins"].append(gi)
+        cur["rows"].append(row)
+    out = []
+    for c in groups:
+        j_idx = np.asarray(c["j"], dtype=np.int64)
+        nb = len(c["gbins"])
+        if all(w == 1 for w in c["wid"]):
+            seg = None
+        else:
+            seg = np.zeros((len(j_idx), nb))
+            k = 0
+            for b, w in enumerate(c["wid"]):
+                seg[k: k + w, b] = 1.0
+                k += w
+        out.append((c["f"], j_idx, seg,
+                    np.asarray(c["gbins"]), np.asarray(c["rows"])))
+    return out
+
+
+def _chunk_ring_coefs(model, t, f, j_idx, seg):
+    """Ring half-spectrum coefficients of the chunk's per-bin components
+    A t_i on the cut rings: (Cc, Cs) each (..., nb, ncomp, nr, L) plus the
+    static map-component indices they occupy in the model's map axis."""
+    cut = model.cut_sht
+    zeros = jnp.zeros_like(t[0])
+    if model.spin == 0:
+        Cc, Cs = cut.ring_cs_lsel_spin0(t[0], j_idx, seg)
+        return Cc[..., None, :, :], Cs[..., None, :, :], (0,)
+    if model.spin == 2:
+        e_in = t[0] if f == 0 else zeros
+        b_in = t[1] if f == 1 else zeros
+        (qc, qs), (uc, us) = cut.ring_cs_lsel_spin2(e_in, b_in, j_idx, seg)
+        return (jnp.stack([qc, uc], axis=-3),
+                jnp.stack([qs, us], axis=-3), (0, 1))
+    if f == 0:
+        Cc, Cs = cut.ring_cs_lsel_spin0(t[0], j_idx, seg)
+        return Cc[..., None, :, :], Cs[..., None, :, :], (0,)
+    e_in = t[1] if f == 1 else zeros
+    b_in = t[2] if f == 2 else zeros
+    (qc, qs), (uc, us) = cut.ring_cs_lsel_spin2(e_in, b_in, j_idx, seg)
+    return (jnp.stack([qc, uc], axis=-3),
+            jnp.stack([qs, us], axis=-3), (1, 2))
+
+
 def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
-                      prop_sigma_list, n_iter: int = 1):
+                      prop_sigma_list, n_iter: int = 1, mdomain="auto"):
     """Rank-one fast path of :func:`nc_cls_sample` for cut-decomposition
     models — same Markov kernel, same random stream, scalar-cost blocks.
 
@@ -316,49 +388,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 order.append(("big", f, brow, None))
             brow += 1
 
-    # A t_i for every single bin: one batched ell-selected cut synthesis
-    # per field; maps stacked over the model's field/map axis
-    cut = model.cut_sht
-    zeros = jnp.zeros_like(t[0])
-    a_parts = {}
-    for f in range(nfields):
-        bins_f = np.asarray(bins_list[f])
-        lo_idx = [lo for (ff, lo, _) in singles if ff == f]
-        if not lo_idx:
-            continue
-        sel = np.zeros((len(lo_idx), L))
-        for k, lo in enumerate(lo_idx):
-            sel[k, bins_f[lo]: bins_f[lo + 1]] = 1.0
-        sel = jnp.asarray(sel, dt)
-        if model.spin == 0:
-            a = cut.synthesis_state_lsel(t[0], sel)[..., None, :, :]
-        elif model.spin == 2:
-            if f == 0:
-                q, u_ = cut.synthesis_spin2_state_lsel(t[0], zeros, sel)
-            else:
-                q, u_ = cut.synthesis_spin2_state_lsel(zeros, t[1], sel)
-            a = jnp.stack([q, u_], axis=-3)
-        else:                       # spin 3: (T, E, B) <-> (T, Q, U)
-            if f == 0:
-                tm = cut.synthesis_state_lsel(t[0], sel)
-                a = jnp.stack([tm, jnp.zeros_like(tm),
-                               jnp.zeros_like(tm)], axis=-3)
-            else:
-                e_in = t[1] if f == 1 else zeros
-                b_in = t[2] if f == 2 else zeros
-                q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
-                a = jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
-        a_parts[f] = a              # (nb_f, nfmaps, ncut, nphi)
-    a_singles = jnp.concatenate(
-        [a_parts[f] for f in range(nfields) if f in a_parts], axis=-4) \
-        if singles else None        # (nsingle, nfmaps, ncut, nphi)
-    w_cut = model.w_cut.astype(dt)
-    q_diag = (jnp.sum(w_cut * a_singles * a_singles, axis=(-3, -2, -1))
-              if singles else None)
-    gbin_singles = jnp.asarray([gi for (_, _, gi) in singles])
     single_rows = [row for (kind, _, row, _) in order if kind == "single"]
-    big_steps = [(row, brow_mask) for (kind, _, row, _), brow_mask
-                 in zip(order, bmask) if kind == "big"]
 
     # the fast path processes the big blocks at their positions and then the
     # singles as one scan: require the blocks_list order to already be
@@ -369,6 +399,55 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         raise ValueError("nc_cls_sample_cut requires all multi-bin blocks "
                          "to precede the single-bin blocks; use "
                          "nc_cls_sample for this blocking")
+
+    # m-domain sweep eligibility (the production fast-fast path): all
+    # per-bin likelihood algebra in the ring half-spectrum basis
+    use_m = (mdomain is not False) and bool(singles) \
+        and _mdomain_eligible(model)
+
+    cut = model.cut_sht
+    zeros = jnp.zeros_like(t[0])
+    a_singles = q_diag = None
+    if singles and not use_m:
+        # phi-domain fallback (general, non-uniform w): A t_i for every
+        # single bin through one batched ell-selected cut synthesis per
+        # field; maps stacked over the model's field/map axis
+        a_parts = {}
+        for f in range(nfields):
+            bins_f = np.asarray(bins_list[f])
+            lo_idx = [lo for (ff, lo, _) in singles if ff == f]
+            if not lo_idx:
+                continue
+            sel = np.zeros((len(lo_idx), L))
+            for k, lo in enumerate(lo_idx):
+                sel[k, bins_f[lo]: bins_f[lo + 1]] = 1.0
+            sel = jnp.asarray(sel, dt)
+            if model.spin == 0:
+                a = cut.synthesis_state_lsel(t[0], sel)[..., None, :, :]
+            elif model.spin == 2:
+                if f == 0:
+                    q, u_ = cut.synthesis_spin2_state_lsel(t[0], zeros, sel)
+                else:
+                    q, u_ = cut.synthesis_spin2_state_lsel(zeros, t[1], sel)
+                a = jnp.stack([q, u_], axis=-3)
+            else:                       # spin 3: (T, E, B) <-> (T, Q, U)
+                if f == 0:
+                    tm = cut.synthesis_state_lsel(t[0], sel)
+                    a = jnp.stack([tm, jnp.zeros_like(tm),
+                                   jnp.zeros_like(tm)], axis=-3)
+                else:
+                    e_in = t[1] if f == 1 else zeros
+                    b_in = t[2] if f == 2 else zeros
+                    q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
+                    a = jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
+            a_parts[f] = a              # (nb_f, nfmaps, ncut, nphi)
+        a_singles = jnp.concatenate(
+            [a_parts[f] for f in range(nfields) if f in a_parts], axis=-4)
+    w_cut = model.w_cut.astype(dt)
+    if a_singles is not None:
+        q_diag = jnp.sum(w_cut * a_singles * a_singles, axis=(-3, -2, -1))
+    gbin_singles = jnp.asarray([gi for (_, _, gi) in singles]) \
+        if singles else None
 
     def u_of(dlcat):
         parts = [jnp.sqrt(expand_cl_state(
@@ -383,18 +462,17 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
     resid0 = model.d_cut.astype(dt) - au0
     ll0 = model.data_loglike_cut(u0, au0)
 
-    def sweep(carry, k):
-        dlcat, ll, resid = carry
-        kp, ka = jax.random.split(k)
-        props = propose_truncnorm(kp, dlcat, sigma)
-        lr_vec = truncnorm_logratio(dlcat, props, sigma)
-        akeys = jax.random.split(ka, nblocks)
-        accs = jnp.zeros((nblocks,), dt)
+    if use_m:
+        mchunks = _prepare_mchunks(singles, single_rows, bins_list)
+        pwc, pws = cut.ring_dot_weights()
+        w_ring = w_cut[..., 0]                      # (nfmaps, ncut) uniform
 
-        # sweep order follows blocks_list exactly; the reference layout is
-        # [EE big, BB big, BB singles], so process bigs in place then the
-        # contiguous singles run through one inner scan
-        for kind_idx, (kind, f, row, gi) in enumerate(order):
+    def _bigs(dlcat, ll, resid_like, props, lr_vec, akeys, accs, to_resid):
+        """Process the multi-bin blocks in sweep order.  ``resid_like`` is
+        whatever residual representation the singles phase uses (phi maps
+        or ring half-spectrum); ``to_resid`` maps fresh cut-ring residual
+        maps into that representation."""
+        for (kind, f, row, gi) in order:
             if kind != "big":
                 continue
             mb = bmask[row]
@@ -407,8 +485,24 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                    < ll_c - ll + qcorr)
             dlcat = jnp.where(acc, cand, dlcat)
             ll = jnp.where(acc, ll_c, ll)
-            resid = jnp.where(acc, model.d_cut.astype(dt) - au_c, resid)
+            fresh = to_resid(model.d_cut.astype(dt) - au_c)
+            resid_like = jax.tree.map(
+                lambda new, old: jnp.where(acc, new, old),
+                fresh, resid_like)
             accs = accs.at[row].set(acc.astype(dt))
+        return dlcat, ll, resid_like, accs
+
+    def sweep_phi(carry, k):
+        """phi-domain sweep: per-bin pixel maps a_i carried through the
+        singles scan (general w; the original rank-one fast path)."""
+        dlcat, ll, resid = carry
+        kp, ka = jax.random.split(k)
+        props = propose_truncnorm(kp, dlcat, sigma)
+        lr_vec = truncnorm_logratio(dlcat, props, sigma)
+        akeys = jax.random.split(ka, nblocks)
+        accs = jnp.zeros((nblocks,), dt)
+        dlcat, ll, resid, accs = _bigs(dlcat, ll, resid, props, lr_vec,
+                                       akeys, accs, lambda r: r)
 
         if singles:
             xs = (gbin_singles, a_singles, q_diag,
@@ -438,8 +532,89 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
         return (dlcat, ll, resid), accs
 
-    (dlcat, ll, resid), accs = jax.lax.scan(
-        sweep, (dl0, ll0, resid0), jax.random.split(key, n_iter))
+    def sweep_m(carry, k):
+        """m-domain sweep: the singles' likelihood algebra runs entirely in
+        the ring half-spectrum basis.  Per chunk of single-bin blocks the
+        per-bin components A t_i are built by ell-gathered table products
+        (no dense one-hot contraction, ~L/J fewer flops than the lsel
+        einsum), reduced once to scalars — q_i = <a_i, a_i>_w, the in-chunk
+        Gram G_ij = <a_i, a_j>_w and rho_i = <r, a_i>_w — and the sweep
+        itself is a scalar scan: cwr_i = rho_i - sum_{j<i} gamma_j G_ij.
+        No per-bin pixel maps are materialized or carried, so memory stays
+        O(chunk) and the azimuthal iFFT disappears."""
+        dlcat, ll, Rc, Rs = carry
+        kp, ka = jax.random.split(k)
+        props = propose_truncnorm(kp, dlcat, sigma)
+        lr_vec = truncnorm_logratio(dlcat, props, sigma)
+        akeys = jax.random.split(ka, nblocks)
+        accs = jnp.zeros((nblocks,), dt)
+        dlcat, ll, (Rc, Rs), accs = _bigs(
+            dlcat, ll, (Rc, Rs), props, lr_vec, akeys, accs,
+            lambda r: cut.ring_cs_of_maps(r))
+
+        for (f, j_idx, seg, gbins, rows) in mchunks:
+            Cc, Cs, comps = _chunk_ring_coefs(model, t, f, j_idx, seg)
+            c0, c1 = comps[0], comps[-1] + 1
+            wf = w_ring[c0:c1]                       # (ncomp, ncut)
+            # weighted coefficients: <a_i, a_j>_w = sum pwc CcW Cc' + ...
+            CcW = Cc * (wf[:, :, None] * pwc)
+            CsW = Cs * (wf[:, :, None] * pws)
+            G = (jnp.einsum("...icrm,...jcrm->...ij", CcW, Cc,
+                            preferred_element_type=dt)
+                 + jnp.einsum("...icrm,...jcrm->...ij", CsW, Cs,
+                              preferred_element_type=dt))
+            q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
+            # rho_i = <r, a_i>_w: raw ring sums (Rc, Rs) carry no pw
+            rho = (jnp.einsum("...icrm,...crm->...i", Cc * wf[:, :, None],
+                              Rc[..., c0:c1, :, :],
+                              preferred_element_type=dt)
+                   + jnp.einsum("...icrm,...crm->...i", Cs * wf[:, :, None],
+                                Rs[..., c0:c1, :, :],
+                                preferred_element_type=dt))
+            gb = jnp.asarray(gbins)
+            xs = (jnp.arange(len(gbins)), gb, q_c, alpha[gb], beta[gb],
+                  G, rho, akeys[jnp.asarray(rows)])
+
+            def one(carry, x):
+                dlcat, ll, gacc = carry
+                kpos, gi, q_i, al_i, be_i, Grow, rho_i, ak = x
+                D = dlcat[gi]
+                P = props[gi]
+                gamma = jnp.sqrt(P) - jnp.sqrt(D)
+                cwr = rho_i - jnp.dot(gacc, Grow)
+                dll = (gamma * (al_i - jnp.sqrt(D) * be_i - cwr)
+                       + 0.5 * gamma * gamma * (q_i - be_i))
+                acc = (jnp.log(jax.random.uniform(ak, dtype=dt))
+                       < dll + lr_vec[gi])
+                gam_eff = jnp.where(acc, gamma, 0.0)
+                dlcat = dlcat.at[gi].set(jnp.where(acc, P, D))
+                gacc = gacc.at[kpos].set(gam_eff)
+                ll = ll + jnp.where(acc, dll, 0.0)
+                return (dlcat, ll, gacc), acc.astype(dt)
+
+            gacc0 = jnp.zeros((len(gbins),), dt)
+            (dlcat, ll, gacc), acc_s = jax.lax.scan(
+                one, (dlcat, ll, gacc0), xs)
+            accs = accs.at[jnp.asarray(rows)].set(acc_s)
+            # fold the accepted moves into the residual spectrum:
+            # r <- r - sum_i gamma_i a_i  (Rc(a) = pwc Cc, Rs(a) = pws Cs)
+            dRc = jnp.einsum("...i,...icrm->...crm", gacc, Cc,
+                             preferred_element_type=dt) * pwc
+            dRs = jnp.einsum("...i,...icrm->...crm", gacc, Cs,
+                             preferred_element_type=dt) * pws
+            Rc = Rc.at[..., c0:c1, :, :].add(-dRc)
+            Rs = Rs.at[..., c0:c1, :, :].add(-dRs)
+
+        return (dlcat, ll, Rc, Rs), accs
+
+    if use_m:
+        Rc0, Rs0 = cut.ring_cs_of_maps(resid0)
+        carry, accs = jax.lax.scan(
+            sweep_m, (dl0, ll0, Rc0, Rs0), jax.random.split(key, n_iter))
+    else:
+        carry, accs = jax.lax.scan(
+            sweep_phi, (dl0, ll0, resid0), jax.random.split(key, n_iter))
+    dlcat, ll = carry[0], carry[1]
     acc_mean = jnp.mean(accs, axis=0)
     out_acc, i0 = [], 0
     for f, blocks in enumerate(blocks_list):

@@ -68,10 +68,13 @@ def _nc_cls_step(scheme, key, dl, s_nc):
     """Dispatch the blocked-MH C_ell step to the rank-one fast path when
     eligible (set up in _rebind), else the direct evaluation."""
     if scheme._use_cut_mh:
+        # mh_fast="phi" pins the phi-domain rank-one path; "auto" lets the
+        # sampler pick the m-domain sweep when the cut weights allow it
         return cls_mod.nc_cls_sample_cut(
             key, dl, s_nc, scheme.model, scheme.bins_list,
             scheme.blocks_list, scheme.prop_sigma_list,
-            n_iter=scheme.n_iter_mh)
+            n_iter=scheme.n_iter_mh,
+            mdomain=(getattr(scheme, "mh_fast", "auto") != "phi"))
     return cls_mod.nc_cls_sample(
         key, dl, s_nc, scheme.log_like, scheme.bins_list,
         scheme.blocks_list, scheme.prop_sigma_list, n_iter=scheme.n_iter_mh)
@@ -292,7 +295,10 @@ class NonCenteredGibbs(GibbsScheme):
         self.n_iter_mh = n_iter_mh
         self.all_sph = all_sph
         self.d_alm = d_alm
-        self.mh_fast = mh_fast      # "auto" | "off" (static; tests force off)
+        self.mh_fast = mh_fast      # "auto" | "phi" | "off" (static):
+                                    # auto = rank-one fast path (m-domain
+                                    # sweep when eligible); phi = force the
+                                    # phi-domain fast path; off = direct
         self._rebind()
 
     def _rebind(self):
@@ -340,7 +346,10 @@ class ASISGibbs(GibbsScheme):
         self.n_iter_mh = n_iter_mh
         self.all_sph = all_sph
         self.d_alm = d_alm
-        self.mh_fast = mh_fast      # "auto" | "off" (static; tests force off)
+        self.mh_fast = mh_fast      # "auto" | "phi" | "off" (static):
+                                    # auto = rank-one fast path (m-domain
+                                    # sweep when eligible); phi = force the
+                                    # phi-domain fast path; off = direct
         self._rebind()
 
     def _rebind(self):

@@ -282,6 +282,131 @@ class SHT(LegendreCore):
         u = self._unfold_half(uc + us, uc - us)
         return q, u
 
+    # -- ring half-spectrum (m-domain) representation -----------------------
+    #
+    # Every ring of an iso-latitude grid holds nphi equispaced pixels, so a
+    # synthesized map restricted to one ring is a finite cos/sin series in
+    # the ring angle theta_j = 2 pi j / nphi:
+    #     f[j] = sum_m  C_m cos(m theta_j) + S_m sin(m theta_j)
+    # (phi0 offsets are absorbed into (C, S) by the ring phase rotation).
+    # With mmax <= nphi/2 the pixel dot product of two such series is exact
+    # in the coefficients (discrete Parseval):
+    #     sum_j f g = pw_cos . (C C') + pw_sin . (S S')
+    # which lets the blocked-MH fast path (samplers.nc_cls_sample_cut) do
+    # ALL its per-bin likelihood algebra in the m domain — no per-bin
+    # azimuthal iFFTs and no per-bin pixel maps.
+
+    def ring_dot_weights(self):
+        """(pw_cos, pw_sin) Parseval weights of the ring pixel dot product
+        in the cos/sin half-spectrum basis; exact for mmax <= nphi/2
+        (m = 0 and the Nyquist column 2 m = nphi carry pw_cos = nphi,
+        pw_sin = 0)."""
+        n = self.nphi
+        L = self.lmax + 1
+        if n < 2 * self.lmax:
+            raise ValueError(
+                f"ring-domain dot products need nphi >= 2 lmax "
+                f"(nphi={n}, lmax={self.lmax}): cross-mode aliasing")
+        pwc = np.full(L, n / 2.0)
+        pws = np.full(L, n / 2.0)
+        pwc[0], pws[0] = float(n), 0.0
+        if 2 * self.lmax == n:
+            pwc[self.lmax], pws[self.lmax] = float(n), 0.0
+        return (jnp.asarray(pwc, self.dtype), jnp.asarray(pws, self.dtype))
+
+    def ring_cs_of_maps(self, maps: jnp.ndarray):
+        """(..., nr, nphi) pixel maps -> (Rc, Rs) raw ring sums
+        Rc_m = sum_j f cos(m theta_j), Rs_m = sum_j f sin(m theta_j),
+        so that sum_j f a = sum_m (Cc Rc + Cs Rs) for any half-spectrum
+        series a with coefficients (Cc, Cs)."""
+        u, v = self._fold_half(maps.astype(self.dtype))
+        td = self.table_dtype
+        Rc = jnp.matmul(u.astype(td), self.dft_cos.T,
+                        preferred_element_type=self.dtype).astype(self.dtype)
+        Rs = jnp.matmul(v.astype(td), self.dft_sin.T,
+                        preferred_element_type=self.dtype).astype(self.dtype)
+        return Rc, Rs
+
+    def _lsel_F(self, lam, g2, j_idx, seg):
+        """Per-bin Legendre synthesis without the dense one-hot ell
+        contraction: j_idx (J,) static selected ells (disjoint bins), seg
+        (J, nb) static 0/1 segment matrix (None when every bin is a single
+        ell, i.e. j IS the bin axis).  Returns (..., nb, c, nr, L) ring
+        Fourier coefficients.  Each selected ell costs one table *gather*
+        plus an elementwise product — O(J/L) of the dense
+        ``_lsynth_stack_binned`` einsum's flops."""
+        if self.ring_split:
+            raise NotImplementedError(
+                "ell-selected synthesis requires ring_split=False tables")
+        gt = g2.astype(self.table_dtype)
+        j_idx = np.asarray(j_idx)
+        outs = []
+        for (m0, m1), blk in zip(self._msplit(), lam):
+            jrel = j_idx - m0
+            valid = jrel >= 0
+            lamj = jnp.take(blk, jnp.asarray(np.where(valid, jrel, 0)),
+                            axis=1)                      # (mb, J, r)
+            if not valid.all():
+                lamj = lamj * jnp.asarray(
+                    valid.astype(np.float64), lamj.dtype)[None, :, None]
+            gj = jnp.take(gt[..., m0:m1, :], jnp.asarray(j_idx),
+                          axis=-1)                       # (..., c, mb, J)
+            prod = gj[..., None] * lamj                  # (..., c, mb, J, r)
+            if seg is None:
+                # j == bin: (..., c, m, j, r) -> (..., j, c, r, m)
+                Fb = jnp.moveaxis(jnp.moveaxis(prod, -2, -4), -1, -2)
+                Fb = Fb.astype(self.dtype)
+            else:
+                Fb = jnp.einsum("...cmjr,jb->...bcrm", prod,
+                                jnp.asarray(seg, self.table_dtype),
+                                preferred_element_type=self.dtype
+                                ).astype(self.dtype)
+            outs.append(Fb)
+        F = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return F
+
+    def ring_cs_lsel_spin0(self, x: jnp.ndarray, j_idx, seg):
+        """Per-bin ell-selected spin-0 synthesis in the ring half-spectrum
+        basis: -> (Cc, Cs) each (..., nb, nr, L) with
+        map_b[j] = sum_m Cc cos(m theta_j) + Cs sin(m theta_j)."""
+        F = self._lsel_F(self.lam0, self._state_grids(x), j_idx, seg)
+        Fre, Fim = F[..., 0, :, :], F[..., 1, :, :]
+        if self._constrain_F is not None:
+            Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
+        Fre, Fim = self._rot(Fre, Fim, +1)
+        cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
+        return cm * Fre, -(cm * Fim)
+
+    def ring_cs_lsel_spin2(self, e_state: jnp.ndarray, b_state: jnp.ndarray,
+                           j_idx, seg):
+        """Per-bin ell-selected spin-2 synthesis in the ring half-spectrum
+        basis: -> ((Qc, Qs), (Uc, Us)), each (..., nb, nr, L)."""
+        self._require_spin2()
+        if self.lam_p2 is None:
+            raise NotImplementedError(
+                "ell-selected spin-2 synthesis requires ring_split=False")
+        eg = self._state_grids(e_state)
+        bg = self._state_grids(b_state)
+        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
+        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
+        ap = jnp.stack([-(ere - bim), -(eim + bre)], axis=-3)
+        am = jnp.stack([-(ere + bim), -(eim - bre)], axis=-3)
+        Fp = self._lsel_F(self.lam_p2, ap, j_idx, seg)
+        Fm = self._lsel_F(self.lam_m2, am, j_idx, seg)
+        pos = jnp.ones((self.lmax + 1,), self.dtype).at[0].set(0.0)
+        Are = Fp[..., 0, :, :] + Fm[..., 0, :, :] * pos
+        Aim = Fp[..., 1, :, :] + Fm[..., 1, :, :] * pos
+        Bre = Fp[..., 0, :, :] - Fm[..., 0, :, :] * pos
+        Bim = Fp[..., 1, :, :] - Fm[..., 1, :, :] * pos
+        if self._constrain_F is not None:
+            Are, Aim = self._constrain_F(Are), self._constrain_F(Aim)
+            Bre, Bim = self._constrain_F(Bre), self._constrain_F(Bim)
+        Are, Aim = self._rot(Are, Aim, +1)
+        Bre, Bim = self._rot(Bre, Bim, +1)
+        # Q[j] = sum Are cos - Aim sin ; U[j] = sum Bim cos + Bre sin
+        # (matches _spin2_maps_from_F's qc/qs/uc/us assembly exactly)
+        return (Are, -Aim), (Bim, Bre)
+
     # -- ell-selected (binned) synthesis: the rank-one MH fast path ---------
 
     def synthesis_state_lsel(self, x: jnp.ndarray, sel) -> jnp.ndarray:

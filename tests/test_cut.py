@@ -489,3 +489,174 @@ def test_cut_exact_with_apodized_mask():
     ll_pix = -0.5 * float(jnp.sum(model.noise.inv_noise * resid * resid))
     ll_cut = float(mc.data_loglike_cut(mc.beam(x2)))
     assert abs(ll_cut - ll_pix) < 1e-9 * max(1.0, abs(ll_pix))
+
+
+# ---------------------------------------------------------------------------
+# m-domain blocked-MH fast path (ring half-spectrum sweep)
+# ---------------------------------------------------------------------------
+
+def test_ring_halfspec_identities():
+    """ring_cs_lsel_spin2 / ring_cs_of_maps / ring_dot_weights reproduce the
+    per-bin pixel maps and their w-weighted dot products exactly (the
+    algebra behind nc_cls_sample_cut's m-domain sweep)."""
+    model, mc, fields = make_masked(spin=2, sigma2=0.5)
+    cut = mc.cut_sht
+    rng = np.random.default_rng(0)
+    e = jnp.asarray(rng.standard_normal(model.nstate))
+    b = jnp.asarray(rng.standard_normal(model.nstate))
+    ellbins = [(2, 3), (3, 4), (5, 9), (9, 10)]     # unit + wide mix
+    j_idx = np.concatenate([np.arange(lo, hi) for lo, hi in ellbins])
+    seg = np.zeros((len(j_idx), len(ellbins)))
+    k = 0
+    for i, (lo, hi) in enumerate(ellbins):
+        seg[k: k + hi - lo, i] = 1.0
+        k += hi - lo
+    sel = np.zeros((len(ellbins), LMAX + 1))
+    for i, (lo, hi) in enumerate(ellbins):
+        sel[i, lo:hi] = 1.0
+    q_ref, u_ref = cut.synthesis_spin2_state_lsel(e, b, jnp.asarray(sel))
+    (Qc, Qs), (Uc, Us) = cut.ring_cs_lsel_spin2(e, b, j_idx, seg)
+    nphi = cut.nphi
+    th = 2 * np.pi * np.arange(nphi) / nphi
+    cosm = np.cos(np.outer(np.arange(LMAX + 1), th))
+    sinm = np.sin(np.outer(np.arange(LMAX + 1), th))
+    q_m = (np.einsum("brm,mj->brj", np.asarray(Qc), cosm)
+           + np.einsum("brm,mj->brj", np.asarray(Qs), sinm))
+    u_m = (np.einsum("brm,mj->brj", np.asarray(Uc), cosm)
+           + np.einsum("brm,mj->brj", np.asarray(Us), sinm))
+    scale = np.abs(np.asarray(q_ref)).max()
+    np.testing.assert_allclose(q_m, np.asarray(q_ref), atol=1e-12 * scale)
+    np.testing.assert_allclose(u_m, np.asarray(u_ref), atol=1e-12 * scale)
+    # w-weighted dot products: Parseval vs pixel domain
+    pwc, pws = cut.ring_dot_weights()
+    w_ring = np.asarray(mc.w_cut)[0, :, 0]
+    q_i_m = (np.einsum("r,brm,m->b", w_ring, np.asarray(Qc) ** 2,
+                       np.asarray(pwc))
+             + np.einsum("r,brm,m->b", w_ring, np.asarray(Qs) ** 2,
+                         np.asarray(pws)))
+    q_i_p = np.einsum("r,brj->b", w_ring, np.asarray(q_ref) ** 2)
+    np.testing.assert_allclose(q_i_m, q_i_p, rtol=1e-11)
+    r = rng.standard_normal(np.asarray(q_ref).shape[1:])
+    Rc, Rs = cut.ring_cs_of_maps(jnp.asarray(r))
+    rho_m = (np.einsum("brm,rm->b", np.asarray(Qc), np.asarray(Rc))
+             + np.einsum("brm,rm->b", np.asarray(Qs), np.asarray(Rs)))
+    rho_p = np.einsum("rj,brj->b", r, np.asarray(q_ref))
+    np.testing.assert_allclose(rho_m, rho_p, rtol=1e-10)
+
+
+def test_ring_dot_weights_nyquist():
+    """At nphi = 2 lmax (the HEALPix belt case) the Nyquist column m = lmax
+    carries pw_cos = nphi, pw_sin = 0, keeping the Parseval dot product
+    exact."""
+    from gibbssampler_tpu.sht.grids import SphereGrid
+    from gibbssampler_tpu.sht.transform import SHT
+    lmax = 8
+    nphi = 2 * lmax
+    theta = np.array([1.2, 1.5, 1.9])
+    g = SphereGrid(name="nyq", theta=theta, weights=np.ones(3), nphi=nphi,
+                   phi0=np.array([0.0, 0.1, 0.0]))
+    sht = SHT(g, lmax, dtype=jnp.float64, spin2=True, allow_aliasing=True)
+    rng = np.random.default_rng(1)
+    from gibbssampler_tpu.harmonics import nstate as _nstate
+    e = jnp.asarray(rng.standard_normal(_nstate(lmax)))
+    b = jnp.asarray(rng.standard_normal(_nstate(lmax)))
+    j_idx = np.arange(2, lmax + 1)
+    (Qc, Qs), (Uc, Us) = sht.ring_cs_lsel_spin2(e, b, j_idx, None)
+    sel = np.zeros((len(j_idx), lmax + 1))
+    for i, l in enumerate(j_idx):
+        sel[i, l] = 1.0
+    q_ref, u_ref = sht.synthesis_spin2_state_lsel(e, b, jnp.asarray(sel))
+    pwc, pws = sht.ring_dot_weights()
+    assert float(pwc[lmax]) == nphi and float(pws[lmax]) == 0.0
+    dot_m = (np.einsum("brm,crm,m->bc", np.asarray(Qc), np.asarray(Qc),
+                       np.asarray(pwc))
+             + np.einsum("brm,crm,m->bc", np.asarray(Qs), np.asarray(Qs),
+                         np.asarray(pws)))
+    dot_p = np.einsum("brj,crj->bc", np.asarray(q_ref), np.asarray(q_ref))
+    np.testing.assert_allclose(dot_m, dot_p, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("spin", [2, 3])
+def test_mdomain_sweep_matches_phi_sweep(spin):
+    """nc_cls_sample_cut's m-domain sweep consumes the identical random
+    stream and computes the same accept ratios as the phi-domain rank-one
+    path, so whole chains must match bit-near (fp64)."""
+    from gibbssampler_tpu.samplers import cls_samplers as cs
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+    grid = gauss_legendre_grid(LMAX)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    mask = np.broadcast_to((lat > 0.3)[:, None],
+                           (grid.nrings, grid.nphi)).astype(np.float64)
+    if spin == 2:
+        fields = np.stack([example_dl(LMAX, "ee", amp=10.0),
+                           example_dl(LMAX, "bb", amp=10.0)])
+    else:
+        fields = np.stack([example_dl(LMAX, "tt", amp=10.0),
+                           example_dl(LMAX, "ee", amp=10.0),
+                           example_dl(LMAX, "bb", amp=10.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(3), LMAX, spin=spin,
+                                dl_fields=fields, noise_sigma2=0.5,
+                                mask=mask, dtype=jnp.float64)
+    mc = with_cut_decomposition(model)
+    assert cs._mdomain_eligible(mc)
+    nf = mc.nfields
+    bins = [np.arange(2, LMAX + 2)] * nf
+    nb = LMAX - 1
+    # bigs then singles (incl. a wide single-bin... per-bin singles across
+    # ALL fields so the T-field spin-0 path is exercised at spin 3)
+    blocks = [[(0, nb // 2)] + [(i, i + 1) for i in range(nb // 2, nb)]
+              for _ in range(nf)]
+    # global order must be bigs-then-singles: make the first fields all-big
+    blocks = ([[(0, nb)] for _ in range(nf - 1)]
+              + [[(0, nb // 2)] + [(i, i + 1) for i in range(nb // 2, nb)]])
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(jnp.asarray(np.maximum(f[2:], 1e-6)) for f in fields)
+    s_nc = jax.random.normal(jax.random.PRNGKey(30), (nf, model.nstate))
+    for k in range(2):
+        key = jax.random.PRNGKey(50 + k)
+        dl_a, info_a = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                            sig, n_iter=3, mdomain=False)
+        dl_b, info_b = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                            sig, n_iter=3, mdomain=True)
+        for f in range(nf):
+            np.testing.assert_allclose(np.asarray(dl_b[f]),
+                                       np.asarray(dl_a[f]),
+                                       rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(info_b.accept[f]),
+                                       np.asarray(info_a.accept[f]),
+                                       atol=1e-12)
+
+
+def test_mdomain_singles_spanning_fields_spin3():
+    """Singles spanning two fields (T and B) exercise the field-pure
+    chunking and the cross-field residual handoff through (Rc, Rs)."""
+    from gibbssampler_tpu.samplers import cls_samplers as cs
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+    grid = gauss_legendre_grid(LMAX)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    mask = np.broadcast_to((lat > 0.3)[:, None],
+                           (grid.nrings, grid.nphi)).astype(np.float64)
+    fields = np.stack([example_dl(LMAX, "tt", amp=10.0),
+                       example_dl(LMAX, "ee", amp=10.0),
+                       example_dl(LMAX, "bb", amp=10.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(5), LMAX, spin=3,
+                                dl_fields=fields, noise_sigma2=0.5,
+                                mask=mask, dtype=jnp.float64)
+    mc = with_cut_decomposition(model)
+    nb = LMAX - 1
+    bins = [np.arange(2, LMAX + 2)] * 3
+    # no bigs at all: every block is a single, spanning all three fields
+    blocks = [[(i, i + 1) for i in range(nb)] for _ in range(3)]
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(jnp.asarray(np.maximum(f[2:], 1e-6)) for f in fields)
+    s_nc = jax.random.normal(jax.random.PRNGKey(31), (3, model.nstate))
+    key = jax.random.PRNGKey(77)
+    dl_a, info_a = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                        sig, n_iter=3, mdomain=False)
+    dl_b, info_b = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                        sig, n_iter=3, mdomain=True)
+    for f in range(3):
+        np.testing.assert_allclose(np.asarray(dl_b[f]), np.asarray(dl_a[f]),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(info_b.accept[f]),
+                                   np.asarray(info_a.accept[f]), atol=1e-12)

@@ -1,0 +1,132 @@
+"""Production-scale masked-CG evidence (VERDICT r2 item 3).
+
+Measures the diagonally-preconditioned CG solver (ops/cg.py — the qcinv
+multigrid/PCG replacement, reference descriptor
+``[0, ["diag_cl"], lmax, nside, 4000, 1e-6, tr_cg, cache_mem()]``,
+/root/reference/ConstrainedRealization.py:40-41) at the reference's
+production scale: lmax=512, polarized, 0.5 deg beam, reference noise,
+galactic band cuts at several f_sky values, tolerances 1e-5 / 1e-6.
+
+For each (f_sky, tol) cell: CG iteration count (lockstep over a chain
+batch) and wall ms/solve on the attached device.  Results go to stdout as
+a markdown table + one JSON line; paste into docs/PERF.md.
+
+Usage: python tools/cg_scale.py            # lmax=512 on the TPU
+       CG_LMAX=128 CG_NCHAINS=4 python tools/cg_scale.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/gibbssampler_tpu/jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+
+LMAX = int(os.environ.get("CG_LMAX", "512"))
+NCHAINS = int(os.environ.get("CG_NCHAINS", "8"))
+MAXITER = int(os.environ.get("CG_MAXITER", "4000"))
+CUT = bool(int(os.environ.get("CG_CUT", "1")))
+# band half-widths (deg) -> approximate f_sky of the kept region
+BANDS = [float(x) for x in os.environ.get("CG_BANDS", "5,11.5,25").split(",")]
+TOLS = [float(x) for x in os.environ.get("CG_TOLS", "1e-5,1e-6").split(",")]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(band_deg):
+    import jax
+    import jax.numpy as jnp
+    from gibbssampler_tpu.inference import example_dl, simulate_dataset
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+
+    dl_ee = example_dl(LMAX, "ee", amp=1000.0)
+    dl_bb = example_dl(LMAX, "bb", amp=1000.0)
+    grid = gauss_legendre_grid(LMAX)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    ring_keep = (lat > np.radians(band_deg)).astype(np.float64)
+    mask = np.broadcast_to(ring_keep[:, None], (grid.nrings, grid.nphi))
+    model, _ = simulate_dataset(
+        jax.random.PRNGKey(0), LMAX, spin=2,
+        dl_fields=np.stack([dl_ee, dl_bb]),
+        noise_sigma2=0.2 ** 2, fwhm_radians=np.radians(0.5), mask=mask,
+        dtype=jnp.float32, grid=grid)
+    if CUT:
+        from gibbssampler_tpu.ops import with_cut_decomposition
+        model = with_cut_decomposition(model)
+    return model, (dl_ee, dl_bb)
+
+
+def measure(model, dls, tol):
+    import jax
+    import jax.numpy as jnp
+    from gibbssampler_tpu.harmonics.spectra import (unfold_bins,
+                                                    variance_expansion_state)
+    from gibbssampler_tpu.samplers.cr import (cr_precond, fluctuated_rhs,
+                                              _q_op, _safe_inv, _active)
+    from gibbssampler_tpu.ops.cg import cg_solve
+
+    dt = model.sht.dtype
+    bins = np.arange(2, LMAX + 2)
+    var = jnp.stack([variance_expansion_state(
+        unfold_bins(jnp.asarray(d[2:], dt), bins, LMAX), LMAX)
+        for d in dls])
+    bt = jax.jit(lambda m: m.bt_ninv_d())(model)
+
+    def one_solve(key, model):
+        inv_cvar = _safe_inv(var)
+        b = fluctuated_rhs(key, model, var, bt)
+        op = _q_op(model, inv_cvar)
+        x, info = cg_solve(op, b, x0=None,
+                           precond_diag=cr_precond(model, var),
+                           tol=tol, maxiter=MAXITER, ndim_sys=2)
+        return x * _active(var), info
+
+    solve = jax.jit(jax.vmap(one_solve, in_axes=(0, None)),
+                    static_argnums=())
+    keys = jax.random.split(jax.random.PRNGKey(7), NCHAINS)
+    x, info = solve(keys, model)          # compile + converge
+    jax.block_until_ready(x)
+    iters = int(np.max(np.asarray(info.iterations)))
+    conv = bool(np.all(np.asarray(info.converged)))
+    t0 = time.time()
+    nrep = 3
+    for r in range(nrep):
+        keys = jax.random.split(jax.random.PRNGKey(100 + r), NCHAINS)
+        x, info = solve(keys, model)
+        jax.block_until_ready(x)
+    ms = (time.time() - t0) / nrep * 1e3
+    return iters, conv, ms
+
+
+def main():
+    import jax
+    log(f"device: {jax.devices()}")
+    rows = []
+    print(f"lmax={LMAX} pol masked CG, {NCHAINS} lockstep chains, "
+          f"cut={CUT}, maxiter={MAXITER}")
+    print("| band (deg) | f_sky | tol | iters (lockstep max) | converged | "
+          "ms/solve (batch) |")
+    print("|---|---|---|---|---|---|")
+    for band in BANDS:
+        model, dls = build(band)
+        fsky = float(np.asarray(model.noise.f_sky).mean())
+        for tol in TOLS:
+            iters, conv, ms = measure(model, dls, tol)
+            print(f"| {band:.1f} | {fsky:.3f} | {tol:g} | {iters} | "
+                  f"{conv} | {ms:.0f} |", flush=True)
+            rows.append({"band_deg": band, "f_sky": round(fsky, 4),
+                         "tol": tol, "iters": iters, "converged": conv,
+                         "ms_per_batch_solve": round(ms, 1)})
+    print(json.dumps({"lmax": LMAX, "nchains": NCHAINS, "cut": CUT,
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
