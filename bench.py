@@ -242,6 +242,9 @@ def main():
                      nchains=NCHAINS)
     jax.block_until_ready(out["dl_chains"])
     log(f"warmup done in {time.time() - t0:.1f}s")
+    del out         # free warmup chain state/histories before the timed
+    import gc       # run: the big graphs run within ~1 GB of HBM capacity
+    gc.collect()
 
     t0 = time.time()
     out = scheme.run(jax.random.PRNGKey(2), dl0, n_iter=N_ITER,

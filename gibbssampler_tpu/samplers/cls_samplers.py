@@ -254,7 +254,11 @@ def _mdomain_eligible(model) -> bool:
             and getattr(cut, "nphi", 0) >= 2 * model.lmax)
 
 
-def _prepare_mchunks(singles, single_rows, bins_list, chunk_size: int = 48):
+def _prepare_mchunks(singles, single_rows, bins_list, chunk_size: int = 16):
+    # chunk_size bounds the live coefficient memory: each chunk keeps
+    # ~4 * chunk * ncut * (lmax+1) floats per chain alive (XLA overlaps
+    # neighboring chunks' lifetimes, so large chunks OOM at high chain
+    # counts: 48 costs ~4 x 780 MB per chunk at 128 chains / lmax 512)
     """Static chunking of the single-bin blocks for the m-domain sweep:
     field-pure chunks of at most chunk_size bins, each described by
     (field, j_idx, seg, gbins, rows) with j_idx the chunk's selected ells,
@@ -556,20 +560,36 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
             Cc, Cs, comps = _chunk_ring_coefs(model, t, f, j_idx, seg)
             c0, c1 = comps[0], comps[-1] + 1
             wf = w_ring[c0:c1]                       # (ncomp, ncut)
-            # weighted coefficients: <a_i, a_j>_w = sum pwc CcW Cc' + ...
-            CcW = Cc * (wf[:, :, None] * pwc)
-            CsW = Cs * (wf[:, :, None] * pws)
-            G = (jnp.einsum("...icrm,...jcrm->...ij", CcW, Cc,
+            # ONE weighted copy per coefficient array: scale by
+            # sqrt(w_r pw_m) so <a_i, a_j>_w is a plain einsum of the
+            # scaled coefficients with themselves; rho and the residual
+            # update reuse the same arrays with the small (Rc, Rs) side
+            # carrying the compensating sqrt factors.  Rings with w_r = 0
+            # contribute to nothing downstream (every use of the carried
+            # residual spectrum is w-weighted), so the where-guards are
+            # exact.  Keeps live coefficient memory at 2 arrays per chunk
+            # (the chunk-48 version's ~8 copies OOM'd 128 chains).
+            sc_c = jnp.sqrt(wf[:, :, None] * pwc)
+            sc_s = jnp.sqrt(wf[:, :, None] * pws)
+            Cc = Cc * sc_c
+            Cs = Cs * sc_s
+            G = (jnp.einsum("...icrm,...jcrm->...ij", Cc, Cc,
                             preferred_element_type=dt)
-                 + jnp.einsum("...icrm,...jcrm->...ij", CsW, Cs,
+                 + jnp.einsum("...icrm,...jcrm->...ij", Cs, Cs,
                               preferred_element_type=dt))
             q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
-            # rho_i = <r, a_i>_w: raw ring sums (Rc, Rs) carry no pw
-            rho = (jnp.einsum("...icrm,...crm->...i", Cc * wf[:, :, None],
-                              Rc[..., c0:c1, :, :],
+            # rho_i = <r, a_i>_w = sum (Cc sc_c) (Rc sqrt(w/pw)) + ...
+            rc_t = Rc[..., c0:c1, :, :] * jnp.where(pwc > 0,
+                                                    sc_c / jnp.where(
+                                                        pwc > 0, pwc, 1.0),
+                                                    0.0)
+            rs_t = Rs[..., c0:c1, :, :] * jnp.where(pws > 0,
+                                                    sc_s / jnp.where(
+                                                        pws > 0, pws, 1.0),
+                                                    0.0)
+            rho = (jnp.einsum("...icrm,...crm->...i", Cc, rc_t,
                               preferred_element_type=dt)
-                   + jnp.einsum("...icrm,...crm->...i", Cs * wf[:, :, None],
-                                Rs[..., c0:c1, :, :],
+                   + jnp.einsum("...icrm,...crm->...i", Cs, rs_t,
                                 preferred_element_type=dt))
             gb = jnp.asarray(gbins)
             xs = (jnp.arange(len(gbins)), gb, q_c, alpha[gb], beta[gb],
@@ -597,11 +617,17 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 one, (dlcat, ll, gacc0), xs)
             accs = accs.at[jnp.asarray(rows)].set(acc_s)
             # fold the accepted moves into the residual spectrum:
-            # r <- r - sum_i gamma_i a_i  (Rc(a) = pwc Cc, Rs(a) = pws Cs)
+            # r <- r - sum_i gamma_i a_i with Rc(a) = pwc Cc_raw =
+            # sqrt(pwc/w) (Cc sc_c-scaled); w = 0 rings never feed any
+            # downstream w-weighted product, so zeroing them is exact
             dRc = jnp.einsum("...i,...icrm->...crm", gacc, Cc,
-                             preferred_element_type=dt) * pwc
+                             preferred_element_type=dt) \
+                * jnp.where(sc_c > 0, pwc / jnp.where(sc_c > 0, sc_c, 1.0),
+                            0.0)
             dRs = jnp.einsum("...i,...icrm->...crm", gacc, Cs,
-                             preferred_element_type=dt) * pws
+                             preferred_element_type=dt) \
+                * jnp.where(sc_s > 0, pws / jnp.where(sc_s > 0, sc_s, 1.0),
+                            0.0)
             Rc = Rc.at[..., c0:c1, :, :].add(-dRc)
             Rs = Rs.at[..., c0:c1, :, :].add(-dRs)
 

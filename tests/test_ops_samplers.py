@@ -276,3 +276,47 @@ def test_pcn_acceptance_and_invariance():
     np.testing.assert_allclose(np.asarray(m_new[0, 2:40]),
                                np.asarray(m_ref[0, 2:40]),
                                atol=6 * scale / np.sqrt(nch))
+
+
+def test_cg_production_mask_iteration_bound():
+    """Production-scale conditioning evidence for the masked CG: at
+    lmax=128 with the ~80% galactic band cut and the diag_cl-style
+    preconditioner (cr_precond), the lockstep solve converges to the
+    reference's tolerances well inside its 4000-iteration budget
+    (reference descriptor: ConstrainedRealization.py:40-41).  Measured
+    headroom (lmax=512 table in docs/PERF.md) shrinks slowly with lmax, so
+    this bound pins the preconditioner's quality, not a lucky small case."""
+    from gibbssampler_tpu.inference import example_dl, simulate_dataset
+    from gibbssampler_tpu.ops import with_cut_decomposition
+    from gibbssampler_tpu.ops.cg import cg_solve
+    from gibbssampler_tpu.samplers.cr import (cr_precond, fluctuated_rhs,
+                                              _q_op, _safe_inv, _active)
+    from gibbssampler_tpu.harmonics import variance_expansion_state
+    from gibbssampler_tpu.harmonics.spectra import unfold_bins
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+
+    lmax = 128
+    grid = gauss_legendre_grid(lmax)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    keep = (lat > np.radians(11.5)).astype(np.float64)
+    mask = np.broadcast_to(keep[:, None], (grid.nrings, grid.nphi))
+    dls = np.stack([example_dl(lmax, "ee", amp=1000.0),
+                    example_dl(lmax, "bb", amp=1000.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(0), lmax, spin=2,
+                                dl_fields=dls, noise_sigma2=0.2 ** 2,
+                                fwhm_radians=np.radians(0.5), mask=mask,
+                                dtype=jnp.float64, grid=grid)
+    model = with_cut_decomposition(model)
+    bins = np.arange(2, lmax + 2)
+    var = jnp.stack([variance_expansion_state(
+        unfold_bins(jnp.asarray(d[2:]), bins, lmax), lmax) for d in dls])
+    bt = model.bt_ninv_d()
+    inv_cvar = _safe_inv(var)
+    b = fluctuated_rhs(jax.random.PRNGKey(5), model, var, bt)
+    x, info = cg_solve(_q_op(model, inv_cvar), b, x0=None,
+                       precond_diag=cr_precond(model, var),
+                       tol=1e-6, maxiter=4000, ndim_sys=2)
+    assert bool(np.all(np.asarray(info.converged))), info
+    iters = int(np.asarray(info.iterations))
+    # measured ~90 iterations at this scale; 4x headroom against drift
+    assert iters <= 350, iters

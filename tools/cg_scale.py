@@ -66,8 +66,8 @@ def build(band_deg):
 def measure(model, dls, tol):
     import jax
     import jax.numpy as jnp
-    from gibbssampler_tpu.harmonics.spectra import (unfold_bins,
-                                                    variance_expansion_state)
+    from gibbssampler_tpu.harmonics.spectra import unfold_bins
+    from gibbssampler_tpu.harmonics.gridstate import variance_expansion_state
     from gibbssampler_tpu.samplers.cr import (cr_precond, fluctuated_rhs,
                                               _q_op, _safe_inv, _active)
     from gibbssampler_tpu.ops.cg import cg_solve
