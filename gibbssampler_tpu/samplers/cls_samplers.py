@@ -254,11 +254,23 @@ def _mdomain_eligible(model) -> bool:
             and getattr(cut, "nphi", 0) >= 2 * model.lmax)
 
 
-def _prepare_mchunks(singles, single_rows, bins_list, chunk_size: int = 16):
-    # chunk_size bounds the live coefficient memory: each chunk keeps
-    # ~4 * chunk * ncut * (lmax+1) floats per chain alive (XLA overlaps
-    # neighboring chunks' lifetimes, so large chunks OOM at high chain
-    # counts: 48 costs ~4 x 780 MB per chunk at 128 chains / lmax 512)
+import os as _os
+
+# chunk_size bounds the live coefficient memory: each chunk keeps
+# ~4 * chunk * ncut * (lmax+1) floats per chain alive (XLA overlaps
+# neighboring chunks' lifetimes, so large chunks OOM at high chain
+# counts: 48 cost ~8 x 780 MB per chunk at 128 chains / lmax 512 before
+# the single-scaled-copy refactor; 16-24 measured best after it)
+_MDOMAIN_CHUNK = int(_os.environ.get("GS_MDOMAIN_CHUNK", "16"))
+# unroll factor of the scalar singles scan (tuning knob; >1 trades compile
+# time/register pressure for fewer sequential kernel launches)
+_MDOMAIN_UNROLL = int(_os.environ.get("GS_MDOMAIN_UNROLL", "1"))
+
+
+def _prepare_mchunks(singles, single_rows, bins_list,
+                     chunk_size: int | None = None):
+    if chunk_size is None:
+        chunk_size = _MDOMAIN_CHUNK
     """Static chunking of the single-bin blocks for the m-domain sweep:
     field-pure chunks of at most chunk_size bins, each described by
     (field, j_idx, seg, gbins, rows) with j_idx the chunk's selected ells,
@@ -292,29 +304,38 @@ def _prepare_mchunks(singles, single_rows, bins_list, chunk_size: int = 16):
     return out
 
 
-def _chunk_ring_coefs(model, t, f, j_idx, seg):
+def _prepare_mgrids(model, t, mchunks):
+    """Hoist the per-field ``_state_grids`` expansions out of the chunk
+    loop: each field's grid costs ~state-sized HBM traffic to build, and
+    the chunks only gather thin ell slices from it.  Returns
+    {field: ("s0"|"s2", grid, sign_p, sign_m)}."""
+    cut = model.cut_sht
+    grids = {}
+    for f in sorted({f for (f, *_r) in mchunks}):
+        if model.spin == 0 or (model.spin == 3 and f == 0):
+            grids[f] = ("s0", cut._state_grids(t[0]), 1.0, 1.0)
+        else:
+            which = "e" if (f == 0 if model.spin == 2 else f == 1) else "b"
+            fi = f
+            g, sp, sm = cut.lsel_grid_spin2_single(t[fi], which)
+            grids[f] = ("s2", g, sp, sm)
+    return grids
+
+
+def _chunk_ring_coefs(model, mgrids, f, j_idx, seg):
     """Ring half-spectrum coefficients of the chunk's per-bin components
     A t_i on the cut rings: (Cc, Cs) each (..., nb, ncomp, nr, L) plus the
-    static map-component indices they occupy in the model's map axis."""
+    static map-component indices they occupy in the model's map axis.
+    Consumes the hoisted per-field grids from :func:`_prepare_mgrids`."""
     cut = model.cut_sht
-    zeros = jnp.zeros_like(t[0])
-    if model.spin == 0:
-        Cc, Cs = cut.ring_cs_lsel_spin0(t[0], j_idx, seg)
+    kind, g, sp, sm = mgrids[f]
+    if kind == "s0":
+        Cc, Cs = cut.ring_cs_lsel_spin0_grids(g, j_idx, seg)
         return Cc[..., None, :, :], Cs[..., None, :, :], (0,)
-    if model.spin == 2:
-        e_in = t[0] if f == 0 else zeros
-        b_in = t[1] if f == 1 else zeros
-        (qc, qs), (uc, us) = cut.ring_cs_lsel_spin2(e_in, b_in, j_idx, seg)
-        return (jnp.stack([qc, uc], axis=-3),
-                jnp.stack([qs, us], axis=-3), (0, 1))
-    if f == 0:
-        Cc, Cs = cut.ring_cs_lsel_spin0(t[0], j_idx, seg)
-        return Cc[..., None, :, :], Cs[..., None, :, :], (0,)
-    e_in = t[1] if f == 1 else zeros
-    b_in = t[2] if f == 2 else zeros
-    (qc, qs), (uc, us) = cut.ring_cs_lsel_spin2(e_in, b_in, j_idx, seg)
+    (qc, qs), (uc, us) = cut.ring_cs_lsel_spin2_grids(g, sp, sm, j_idx, seg)
+    comps = (0, 1) if model.spin == 2 else (1, 2)
     return (jnp.stack([qc, uc], axis=-3),
-            jnp.stack([qs, us], axis=-3), (1, 2))
+            jnp.stack([qs, us], axis=-3), comps)
 
 
 def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
@@ -468,6 +489,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
     if use_m:
         mchunks = _prepare_mchunks(singles, single_rows, bins_list)
+        mgrids = _prepare_mgrids(model, t, mchunks)
         pwc, pws = cut.ring_dot_weights()
         w_ring = w_cut[..., 0]                      # (nfmaps, ncut) uniform
 
@@ -555,9 +577,14 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         dlcat, ll, (Rc, Rs), accs = _bigs(
             dlcat, ll, (Rc, Rs), props, lr_vec, akeys, accs,
             lambda r: cut.ring_cs_of_maps(r))
+        # pre-draw every single's accept uniform in ONE batched op
+        # (bit-identical to per-step draws from the same keys); the scalar
+        # scan then runs arithmetic only
+        log_u_all = jnp.log(jax.vmap(
+            lambda kk: jax.random.uniform(kk, dtype=dt))(akeys))
 
         for (f, j_idx, seg, gbins, rows) in mchunks:
-            Cc, Cs, comps = _chunk_ring_coefs(model, t, f, j_idx, seg)
+            Cc, Cs, comps = _chunk_ring_coefs(model, mgrids, f, j_idx, seg)
             c0, c1 = comps[0], comps[-1] + 1
             wf = w_ring[c0:c1]                       # (ncomp, ncut)
             # ONE weighted copy per coefficient array: scale by
@@ -593,19 +620,18 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                                 preferred_element_type=dt))
             gb = jnp.asarray(gbins)
             xs = (jnp.arange(len(gbins)), gb, q_c, alpha[gb], beta[gb],
-                  G, rho, akeys[jnp.asarray(rows)])
+                  G, rho, log_u_all[jnp.asarray(rows)],
+                  props[gb], lr_vec[gb])
 
             def one(carry, x):
                 dlcat, ll, gacc = carry
-                kpos, gi, q_i, al_i, be_i, Grow, rho_i, ak = x
+                kpos, gi, q_i, al_i, be_i, Grow, rho_i, lu, P, lr = x
                 D = dlcat[gi]
-                P = props[gi]
                 gamma = jnp.sqrt(P) - jnp.sqrt(D)
                 cwr = rho_i - jnp.dot(gacc, Grow)
                 dll = (gamma * (al_i - jnp.sqrt(D) * be_i - cwr)
                        + 0.5 * gamma * gamma * (q_i - be_i))
-                acc = (jnp.log(jax.random.uniform(ak, dtype=dt))
-                       < dll + lr_vec[gi])
+                acc = lu < dll + lr
                 gam_eff = jnp.where(acc, gamma, 0.0)
                 dlcat = dlcat.at[gi].set(jnp.where(acc, P, D))
                 gacc = gacc.at[kpos].set(gam_eff)
@@ -614,7 +640,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
             gacc0 = jnp.zeros((len(gbins),), dt)
             (dlcat, ll, gacc), acc_s = jax.lax.scan(
-                one, (dlcat, ll, gacc0), xs)
+                one, (dlcat, ll, gacc0), xs, unroll=_MDOMAIN_UNROLL)
             accs = accs.at[jnp.asarray(rows)].set(acc_s)
             # fold the accepted moves into the residual spectrum:
             # r <- r - sum_i gamma_i a_i with Rc(a) = pwc Cc_raw =

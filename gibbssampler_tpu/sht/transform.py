@@ -369,7 +369,15 @@ class SHT(LegendreCore):
         """Per-bin ell-selected spin-0 synthesis in the ring half-spectrum
         basis: -> (Cc, Cs) each (..., nb, nr, L) with
         map_b[j] = sum_m Cc cos(m theta_j) + Cs sin(m theta_j)."""
-        F = self._lsel_F(self.lam0, self._state_grids(x), j_idx, seg)
+        return self.ring_cs_lsel_spin0_grids(self._state_grids(x), j_idx,
+                                             seg)
+
+    def ring_cs_lsel_spin0_grids(self, g0, j_idx, seg):
+        """Spin-0 variant taking a PREBUILT ``_state_grids`` array — callers
+        that sweep many ell-chunks of one state hoist the (..., 2, L, L)
+        grid expansion out of the chunk loop (it costs ~state-sized HBM
+        traffic per build; the chunk gathers are near-free)."""
+        F = self._lsel_F(self.lam0, g0, j_idx, seg)
         Fre, Fim = F[..., 0, :, :], F[..., 1, :, :]
         if self._constrain_F is not None:
             Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
@@ -377,10 +385,53 @@ class SHT(LegendreCore):
         cm = jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
         return cm * Fre, -(cm * Fim)
 
+    def lsel_grid_spin2_single(self, state: jnp.ndarray, which: str):
+        """Prebuild the ap/am grid of a SINGLE-field spin-2 input (the
+        other field zero) for :meth:`ring_cs_lsel_spin2_grids`.
+
+        For E-only input (B = 0): ap = am = -(g_re, g_im) = -g, so one grid
+        serves both tables with sign (-1, -1).  For B-only (E = 0):
+        ap = (g_im, -g_re) and am = -ap: the swapped grid with signs
+        (+1, -1).  Returns (grid, sign_p, sign_m)."""
+        self._require_spin2()
+        g = self._state_grids(state)
+        if which == "e":
+            return g, -1.0, -1.0
+        if which != "b":
+            raise ValueError(which)
+        gsw = jnp.stack([g[..., 1, :, :], -g[..., 0, :, :]], axis=-3)
+        return gsw, 1.0, -1.0
+
+    def ring_cs_lsel_spin2_grids(self, g, sign_p, sign_m, j_idx, seg):
+        """Per-bin ell-selected spin-2 synthesis from a prebuilt
+        single-field grid (:meth:`lsel_grid_spin2_single`):
+        -> ((Qc, Qs), (Uc, Us)), each (..., nb, nr, L)."""
+        if self.lam_p2 is None:
+            raise NotImplementedError(
+                "ell-selected spin-2 synthesis requires ring_split=False")
+        Fp = self._lsel_F(self.lam_p2, g, j_idx, seg)
+        Fm = self._lsel_F(self.lam_m2, g, j_idx, seg)
+        pos = jnp.ones((self.lmax + 1,), self.dtype).at[0].set(0.0)
+        pos_p = sign_m * pos
+        Are = sign_p * Fp[..., 0, :, :] + Fm[..., 0, :, :] * pos_p
+        Aim = sign_p * Fp[..., 1, :, :] + Fm[..., 1, :, :] * pos_p
+        Bre = sign_p * Fp[..., 0, :, :] - Fm[..., 0, :, :] * pos_p
+        Bim = sign_p * Fp[..., 1, :, :] - Fm[..., 1, :, :] * pos_p
+        if self._constrain_F is not None:
+            Are, Aim = self._constrain_F(Are), self._constrain_F(Aim)
+            Bre, Bim = self._constrain_F(Bre), self._constrain_F(Bim)
+        Are, Aim = self._rot(Are, Aim, +1)
+        Bre, Bim = self._rot(Bre, Bim, +1)
+        # Q[j] = sum Are cos - Aim sin ; U[j] = sum Bim cos + Bre sin
+        # (matches _spin2_maps_from_F's qc/qs/uc/us assembly exactly)
+        return (Are, -Aim), (Bim, Bre)
+
     def ring_cs_lsel_spin2(self, e_state: jnp.ndarray, b_state: jnp.ndarray,
                            j_idx, seg):
         """Per-bin ell-selected spin-2 synthesis in the ring half-spectrum
-        basis: -> ((Qc, Qs), (Uc, Us)), each (..., nb, nr, L)."""
+        basis: -> ((Qc, Qs), (Uc, Us)), each (..., nb, nr, L).  General
+        two-field entry point; the blocked-MH fast path uses the
+        single-field ``_grids`` variant with hoisted grids."""
         self._require_spin2()
         if self.lam_p2 is None:
             raise NotImplementedError(
