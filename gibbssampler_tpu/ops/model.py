@@ -61,6 +61,9 @@ class SkyModel:
     # analytic galactic band cuts; enables the m-domain blocked-MH fast
     # path, samplers.nc_cls_sample_cut)
     cut_w_uniform: bool = False
+    # static: w_cut identical across the map components (T/Q/U share one
+    # mask — the production case); enables the table-domain reductions
+    cut_w_equal_fields: bool = False
 
     @property
     def lmax(self) -> int:
@@ -344,6 +347,8 @@ def _quadrature_cut(model: SkyModel) -> SkyModel:
         w_cut=jnp.asarray(w[:, rows, :], dtype=dt),
         cut_w_uniform=bool(np.allclose(w[:, rows, :], w[:, rows, :1],
                                        rtol=0, atol=0)),
+        cut_w_equal_fields=bool(np.allclose(w[:, rows, :], w[:1, rows, :],
+                                            rtol=0, atol=0)),
     )
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)
@@ -438,6 +443,8 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
         w_cut=jnp.asarray(w[:, idx], dtype=dt),
         cut_w_uniform=bool(np.allclose(w[:, idx], w[:, idx[:, :1]],
                                        rtol=0, atol=0)),
+        cut_w_equal_fields=bool(np.allclose(w[:, idx], w[:1, idx],
+                                            rtol=0, atol=0)),
     )
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)
@@ -448,4 +455,5 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
 register_arrays_pytree(SkyModel,
                        array_fields=("sht", "noise", "bl", "d", "cut_sht",
                                      "d_cut", "w_cut", "cut_c0", "cut_c1"),
-                       static_fields=("spin", "cut_w_uniform"))
+                       static_fields=("spin", "cut_w_uniform",
+                                      "cut_w_equal_fields"))

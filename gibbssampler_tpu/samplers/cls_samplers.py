@@ -322,6 +322,57 @@ def _prepare_mgrids(model, t, mchunks):
     return grids
 
 
+def _chunk_comps(model, f):
+    """Static map-component indices a field occupies in the map axis."""
+    if model.spin == 0 or (model.spin == 3 and f == 0):
+        return (0,)
+    return (0, 1) if model.spin == 2 else (1, 2)
+
+
+def _prepare_tchunks(model, cut, mchunks, w1, dt):
+    """Per-chunk ell-pair weight tables of the TABLE-DOMAIN reductions
+    (the fastest blocked-MH singles engine; requires phase-free rings and
+    one shared mask across map components).
+
+    The w-weighted dot product of two per-bin components factorizes
+    through the ring Parseval identity into ell-pair tables contracted
+    against per-(m, ell) state products: on a phase-free grid every
+    Fp x Fm cross term cancels in Q.Q' + U.U', leaving
+
+        <a_i, a_j>_w = nphi sum_m C_ij(m) [Wpp + pos_m Wmm](m, li, lj)
+        W__(m, l, l') = sum_r w_r lam_(m,l,r) lam_(m,l',r)
+
+    with C_ij(m) = sum_c g[c,m,li] g[c,m,lj] — so no per-bin (ring, m)
+    planes are ever materialized (the coefficient-domain engine's cost)."""
+    n = float(cut.nphi)
+    L = model.lmax + 1
+    pos = np.ones(L)
+    pos[0] = 0.0
+    out = []
+    for (f, j_idx, seg, gbins, rows) in mchunks:
+        if model.spin == 0 or (model.spin == 3 and f == 0):
+            lam0_j = cut.lsel_table(cut.lam0, j_idx)      # (L, J, r)
+            lw = lam0_j * w1.astype(lam0_j.dtype)
+            W00 = jnp.einsum("mjr,mkr->mjk", lw, lam0_j,
+                             preferred_element_type=dt).astype(dt)
+            omega = np.full((2, L), 2.0 * n)
+            omega[0, 0] = n
+            omega[1, 0] = 0.0
+            out.append(("s0", lam0_j, None, W00, jnp.asarray(omega, dt)))
+        else:
+            lamp_j = cut.lsel_table(cut.lam_p2, j_idx)
+            lamm_j = cut.lsel_table(cut.lam_m2, j_idx)
+            lpw = lamp_j * w1.astype(lamp_j.dtype)
+            lmw = lamm_j * w1.astype(lamm_j.dtype)
+            Wpp = jnp.einsum("mjr,mkr->mjk", lpw, lamp_j,
+                             preferred_element_type=dt).astype(dt)
+            Wmm = jnp.einsum("mjr,mkr->mjk", lmw, lamm_j,
+                             preferred_element_type=dt).astype(dt)
+            Wsum = n * (Wpp + jnp.asarray(pos, dt)[:, None, None] * Wmm)
+            out.append(("s2", lamp_j, lamm_j, Wsum, None))
+    return out
+
+
 def _chunk_ring_coefs(model, mgrids, f, j_idx, seg):
     """Ring half-spectrum coefficients of the chunk's per-bin components
     A t_i on the cut rings: (Cc, Cs) each (..., nb, ncomp, nr, L) plus the
@@ -492,6 +543,18 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         mgrids = _prepare_mgrids(model, t, mchunks)
         pwc, pws = cut.ring_dot_weights()
         w_ring = w_cut[..., 0]                      # (nfmaps, ncut) uniform
+        # table-domain engine: needs phase-free rings (the A/B cross terms
+        # cancel only without the per-ring phase rotation) and one shared
+        # mask across map components; "m" pins the coefficient engine
+        use_t = (mdomain != "m"
+                 and not getattr(cut, "has_phase", True)
+                 and getattr(model, "cut_w_equal_fields", False))
+        if use_t:
+            w1 = w_ring[0]
+            pos_t = jnp.ones((L,), dt).at[0].set(0.0)
+            tpre = _prepare_tchunks(model, cut, mchunks, w1, dt)
+    else:
+        use_t = False
 
     def _bigs(dlcat, ll, resid_like, props, lr_vec, akeys, accs, to_resid):
         """Process the multi-bin blocks in sweep order.  ``resid_like`` is
@@ -583,41 +646,106 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         log_u_all = jnp.log(jax.vmap(
             lambda kk: jax.random.uniform(kk, dtype=dt))(akeys))
 
-        for (f, j_idx, seg, gbins, rows) in mchunks:
-            Cc, Cs, comps = _chunk_ring_coefs(model, mgrids, f, j_idx, seg)
+        for ci, (f, j_idx, seg, gbins, rows) in enumerate(mchunks):
+            comps = _chunk_comps(model, f)
             c0, c1 = comps[0], comps[-1] + 1
-            wf = w_ring[c0:c1]                       # (ncomp, ncut)
-            # ONE weighted copy per coefficient array: scale by
-            # sqrt(w_r pw_m) so <a_i, a_j>_w is a plain einsum of the
-            # scaled coefficients with themselves; rho and the residual
-            # update reuse the same arrays with the small (Rc, Rs) side
-            # carrying the compensating sqrt factors.  Rings with w_r = 0
-            # contribute to nothing downstream (every use of the carried
-            # residual spectrum is w-weighted), so the where-guards are
-            # exact.  Keeps live coefficient memory at 2 arrays per chunk
-            # (the chunk-48 version's ~8 copies OOM'd 128 chains).
-            sc_c = jnp.sqrt(wf[:, :, None] * pwc)
-            sc_s = jnp.sqrt(wf[:, :, None] * pws)
-            Cc = Cc * sc_c
-            Cs = Cs * sc_s
-            G = (jnp.einsum("...icrm,...jcrm->...ij", Cc, Cc,
-                            preferred_element_type=dt)
-                 + jnp.einsum("...icrm,...jcrm->...ij", Cs, Cs,
-                              preferred_element_type=dt))
-            q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
-            # rho_i = <r, a_i>_w = sum (Cc sc_c) (Rc sqrt(w/pw)) + ...
-            rc_t = Rc[..., c0:c1, :, :] * jnp.where(pwc > 0,
-                                                    sc_c / jnp.where(
-                                                        pwc > 0, pwc, 1.0),
-                                                    0.0)
-            rs_t = Rs[..., c0:c1, :, :] * jnp.where(pws > 0,
-                                                    sc_s / jnp.where(
-                                                        pws > 0, pws, 1.0),
-                                                    0.0)
-            rho = (jnp.einsum("...icrm,...crm->...i", Cc, rc_t,
-                              preferred_element_type=dt)
-                   + jnp.einsum("...icrm,...crm->...i", Cs, rs_t,
-                                preferred_element_type=dt))
+            if use_t:
+                # --- table-domain reductions (_prepare_tchunks): no
+                # per-bin (ring, m) planes; q/G/rho from ell-pair weight
+                # tables and thin gathered state slices -------------------
+                kind, lamA, lamB, W, omega = tpre[ci]
+                _kg, gmat, sp, sm = mgrids[f]
+                gsel = jnp.take(gmat, jnp.asarray(j_idx), axis=-1)
+                segj = None if seg is None else jnp.asarray(seg, dt)
+                if kind == "s0":
+                    gw = gsel * omega[:, :, None]
+                    CM = jnp.einsum("...cml,...cmk->...mlk", gw, gsel,
+                                    preferred_element_type=dt)
+                    Gl = jnp.einsum("...mlk,mlk->...lk", CM, W,
+                                    preferred_element_type=dt)
+                    cmv = jnp.ones((L,), dt).at[1:].set(2.0)
+                    WRc = Rc[..., c0, :, :] * w1[:, None]
+                    WRs = Rs[..., c0, :, :] * w1[:, None]
+                    U0re = jnp.einsum("mjr,...rm->...mj", lamA, WRc,
+                                      preferred_element_type=dt)
+                    U0im = -jnp.einsum("mjr,...rm->...mj", lamA, WRs,
+                                       preferred_element_type=dt)
+                    rho_l = (jnp.einsum("...mj,...mj,m->...j",
+                                        gsel[..., 0, :, :], U0re, cmv,
+                                        preferred_element_type=dt)
+                             + jnp.einsum("...mj,...mj,m->...j",
+                                          gsel[..., 1, :, :], U0im, cmv,
+                                          preferred_element_type=dt))
+                else:
+                    CM = jnp.einsum("...cml,...cmk->...mlk", gsel, gsel,
+                                    preferred_element_type=dt)
+                    Gl = jnp.einsum("...mlk,mlk->...lk", CM, W,
+                                    preferred_element_type=dt)
+                    cq, cu = comps
+                    wb = w1[:, None]
+                    RcQ, RsQ = Rc[..., cq, :, :], Rs[..., cq, :, :]
+                    RcU, RsU = Rc[..., cu, :, :], Rs[..., cu, :, :]
+                    Spre = wb * (RcQ + RsU)
+                    Spim = wb * (RcU - RsQ)
+                    Smre = wb * (RcQ - RsU)
+                    Smim = -wb * (RsQ + RcU)
+                    Upre = jnp.einsum("mjr,...rm->...mj", lamA, Spre,
+                                      preferred_element_type=dt)
+                    Upim = jnp.einsum("mjr,...rm->...mj", lamA, Spim,
+                                      preferred_element_type=dt)
+                    Umre = jnp.einsum("mjr,...rm->...mj", lamB, Smre,
+                                      preferred_element_type=dt)
+                    Umim = jnp.einsum("mjr,...rm->...mj", lamB, Smim,
+                                      preferred_element_type=dt)
+                    posj = pos_t[:, None]
+                    Xre = sp * Upre + sm * posj * Umre
+                    Xim = sp * Upim + sm * posj * Umim
+                    rho_l = (jnp.einsum("...mj,...mj->...j",
+                                        gsel[..., 0, :, :], Xre,
+                                        preferred_element_type=dt)
+                             + jnp.einsum("...mj,...mj->...j",
+                                          gsel[..., 1, :, :], Xim,
+                                          preferred_element_type=dt))
+                if segj is None:
+                    G, rho = Gl, rho_l
+                else:
+                    G = jnp.einsum("lb,...lk,kc->...bc", segj, Gl, segj,
+                                   preferred_element_type=dt)
+                    rho = jnp.einsum("...l,lb->...b", rho_l, segj,
+                                     preferred_element_type=dt)
+                q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
+            else:
+                Cc, Cs, comps = _chunk_ring_coefs(model, mgrids, f, j_idx,
+                                                  seg)
+                wf = w_ring[c0:c1]                   # (ncomp, ncut)
+                # ONE weighted copy per coefficient array: scale by
+                # sqrt(w_r pw_m) so <a_i, a_j>_w is a plain einsum of the
+                # scaled coefficients with themselves; rho and the residual
+                # update reuse the same arrays with the small (Rc, Rs) side
+                # carrying the compensating sqrt factors.  Rings with
+                # w_r = 0 contribute to nothing downstream (every use of
+                # the carried residual spectrum is w-weighted), so the
+                # where-guards are exact.  Keeps live coefficient memory at
+                # 2 arrays per chunk (the chunk-48 version's ~8 copies
+                # OOM'd 128 chains).
+                sc_c = jnp.sqrt(wf[:, :, None] * pwc)
+                sc_s = jnp.sqrt(wf[:, :, None] * pws)
+                Cc = Cc * sc_c
+                Cs = Cs * sc_s
+                G = (jnp.einsum("...icrm,...jcrm->...ij", Cc, Cc,
+                                preferred_element_type=dt)
+                     + jnp.einsum("...icrm,...jcrm->...ij", Cs, Cs,
+                                  preferred_element_type=dt))
+                q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
+                # rho_i = <r, a_i>_w = sum (Cc sc_c) (Rc sqrt(w/pw)) + ...
+                rc_t = Rc[..., c0:c1, :, :] * jnp.where(
+                    pwc > 0, sc_c / jnp.where(pwc > 0, pwc, 1.0), 0.0)
+                rs_t = Rs[..., c0:c1, :, :] * jnp.where(
+                    pws > 0, sc_s / jnp.where(pws > 0, pws, 1.0), 0.0)
+                rho = (jnp.einsum("...icrm,...crm->...i", Cc, rc_t,
+                                  preferred_element_type=dt)
+                       + jnp.einsum("...icrm,...crm->...i", Cs, rs_t,
+                                    preferred_element_type=dt))
             gb = jnp.asarray(gbins)
             xs = (jnp.arange(len(gbins)), gb, q_c, alpha[gb], beta[gb],
                   G, rho, log_u_all[jnp.asarray(rows)],
@@ -643,19 +771,46 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 one, (dlcat, ll, gacc0), xs, unroll=_MDOMAIN_UNROLL)
             accs = accs.at[jnp.asarray(rows)].set(acc_s)
             # fold the accepted moves into the residual spectrum:
-            # r <- r - sum_i gamma_i a_i with Rc(a) = pwc Cc_raw =
-            # sqrt(pwc/w) (Cc sc_c-scaled); w = 0 rings never feed any
-            # downstream w-weighted product, so zeroing them is exact
-            dRc = jnp.einsum("...i,...icrm->...crm", gacc, Cc,
-                             preferred_element_type=dt) \
-                * jnp.where(sc_c > 0, pwc / jnp.where(sc_c > 0, sc_c, 1.0),
-                            0.0)
-            dRs = jnp.einsum("...i,...icrm->...crm", gacc, Cs,
-                             preferred_element_type=dt) \
-                * jnp.where(sc_s > 0, pws / jnp.where(sc_s > 0, sc_s, 1.0),
-                            0.0)
-            Rc = Rc.at[..., c0:c1, :, :].add(-dRc)
-            Rs = Rs.at[..., c0:c1, :, :].add(-dRs)
+            # r <- r - sum_i gamma_i a_i
+            if use_t:
+                gl = gacc if segj is None else jnp.einsum(
+                    "lb,...b->...l", segj, gacc)
+                gg = gsel * gl[..., None, None, :]
+                if kind == "s0":
+                    Fc = jnp.einsum("mjr,...cmj->...crm", lamA, gg,
+                                    preferred_element_type=dt)
+                    Rc = Rc.at[..., c0, :, :].add(
+                        -(pwc * cmv) * Fc[..., 0, :, :])
+                    Rs = Rs.at[..., c0, :, :].add(
+                        (pws * cmv) * Fc[..., 1, :, :])
+                else:
+                    Fp = jnp.einsum("mjr,...cmj->...crm", lamA, gg,
+                                    preferred_element_type=dt) * sp
+                    Fm = jnp.einsum("mjr,...cmj->...crm", lamB, gg,
+                                    preferred_element_type=dt) * sm
+                    Are = Fp[..., 0, :, :] + pos_t * Fm[..., 0, :, :]
+                    Aim = Fp[..., 1, :, :] + pos_t * Fm[..., 1, :, :]
+                    Bre = Fp[..., 0, :, :] - pos_t * Fm[..., 0, :, :]
+                    Bim = Fp[..., 1, :, :] - pos_t * Fm[..., 1, :, :]
+                    # (Qc, Qs, Uc, Us) = (Are, -Aim, Bim, Bre)
+                    Rc = Rc.at[..., cq, :, :].add(-pwc * Are)
+                    Rs = Rs.at[..., cq, :, :].add(pws * Aim)
+                    Rc = Rc.at[..., cu, :, :].add(-pwc * Bim)
+                    Rs = Rs.at[..., cu, :, :].add(-pws * Bre)
+            else:
+                # Rc(a) = pwc Cc_raw = sqrt(pwc/w) (Cc sc_c-scaled); w = 0
+                # rings never feed any downstream w-weighted product, so
+                # zeroing them is exact
+                dRc = jnp.einsum("...i,...icrm->...crm", gacc, Cc,
+                                 preferred_element_type=dt) \
+                    * jnp.where(sc_c > 0,
+                                pwc / jnp.where(sc_c > 0, sc_c, 1.0), 0.0)
+                dRs = jnp.einsum("...i,...icrm->...crm", gacc, Cs,
+                                 preferred_element_type=dt) \
+                    * jnp.where(sc_s > 0,
+                                pws / jnp.where(sc_s > 0, sc_s, 1.0), 0.0)
+                Rc = Rc.at[..., c0:c1, :, :].add(-dRc)
+                Rs = Rs.at[..., c0:c1, :, :].add(-dRs)
 
         return (dlcat, ll, Rc, Rs), accs
 

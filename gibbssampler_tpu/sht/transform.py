@@ -327,6 +327,23 @@ class SHT(LegendreCore):
                         preferred_element_type=self.dtype).astype(self.dtype)
         return Rc, Rs
 
+    def lsel_table(self, lam, j_idx):
+        """Gather the wedge m-block table stack into one dense
+        (L, J, nr) array over the static selected ells ``j_idx`` (zero
+        where m > ell).  Feeds the table-domain blocked-MH reductions."""
+        j_idx = np.asarray(j_idx)
+        outs = []
+        for (m0, m1), blk in zip(self._msplit(), lam):
+            jrel = j_idx - m0
+            valid = jrel >= 0
+            lamj = jnp.take(blk, jnp.asarray(np.where(valid, jrel, 0)),
+                            axis=1)                      # (mb, J, nr)
+            if not valid.all():
+                lamj = lamj * jnp.asarray(
+                    valid.astype(np.float64), lamj.dtype)[None, :, None]
+            outs.append(lamj)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def _lsel_F(self, lam, g2, j_idx, seg):
         """Per-bin Legendre synthesis without the dense one-hot ell
         contraction: j_idx (J,) static selected ells (disjoint bins), seg

@@ -660,3 +660,30 @@ def test_mdomain_singles_spanning_fields_spin3():
                                    rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(np.asarray(info_b.accept[f]),
                                    np.asarray(info_a.accept[f]), atol=1e-12)
+
+
+def test_tdomain_engine_matches_coefficient_engine():
+    """The table-domain singles engine (ell-pair weight tables, no per-bin
+    (ring, m) planes) computes the same chains as the coefficient m-domain
+    engine pinned with mdomain="m"."""
+    from gibbssampler_tpu.samplers import cls_samplers as cs
+    model, mc, fields = make_masked(spin=2, sigma2=0.5)
+    assert mc.cut_w_uniform and mc.cut_w_equal_fields
+    assert not mc.cut_sht.has_phase
+    nb = LMAX - 1
+    bins = [np.arange(2, LMAX + 2)] * 2
+    blocks = [[(0, nb)],
+              [(0, nb // 2)] + [(i, i + 1) for i in range(nb // 2, nb)]]
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(jnp.asarray(np.maximum(f[2:], 1e-6)) for f in fields)
+    s_nc = jax.random.normal(jax.random.PRNGKey(40), (2, model.nstate))
+    key = jax.random.PRNGKey(41)
+    dl_m, info_m = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                        sig, n_iter=3, mdomain="m")
+    dl_t, info_t = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                        sig, n_iter=3, mdomain="auto")
+    for f in range(2):
+        np.testing.assert_allclose(np.asarray(dl_t[f]), np.asarray(dl_m[f]),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(info_t.accept[f]),
+                                   np.asarray(info_m.accept[f]), atol=1e-12)
