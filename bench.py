@@ -172,7 +172,9 @@ def build():
             f_sky=float(np.asarray(model.noise.f_sky)[f]))
             for f, b in enumerate((bins_ee, bins_bb))]
         scheme = ASISGibbs(model, [bins_ee, bins_bb],
-                           [blocks_ee, blocks_bb], sig, n_iter_mh=1,
+                           [blocks_ee, blocks_bb], sig,
+                           n_iter_mh=int(os.environ.get("BENCH_NITER_MH",
+                                                        "1")),
                            cr_method="overrelax",
                            cr_options={"alpha": -0.995})
         return scheme, (dl_ee, dl_bb, (bins_ee, bins_bb))
