@@ -43,14 +43,22 @@ TABLE_DTYPE = os.environ.get("BENCH_TABLE_DTYPE", "float32")
 FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
 # north/south ring-parity split of the Legendre tables (1 = on)
 RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "0")))
-# sampling scheme: "centered" (aux+MALA CR) or "asis" — the reference's
-# flagship ASIS run: overrelaxed aux CR + non-centered blocked-MH C_ell with
-# the Planck BB binning/blocking (main_polarization.py:124-126,
-# config.py:44-55)
-SCHEME = os.environ.get("BENCH_SCHEME", "centered")
+# sampling scheme: "asis" (default — the reference's flagship ASIS run:
+# overrelaxed aux CR + non-centered blocked-MH C_ell with the Planck BB
+# binning/blocking, main_polarization.py:124-126, config.py:44-55) or
+# "centered" (aux+MALA CR; the fastest-mixing scheme at this noise level,
+# kept reachable via BENCH_SCHEME=centered)
+SCHEME = os.environ.get("BENCH_SCHEME", "asis")
 N_ITER = int(os.environ.get("BENCH_ITERS",
                             "60" if SCHEME == "asis" else "150"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
+# mask shape: "band" (hard ~80% f_sky galactic cut, the default) or
+# "planckish" (GL only): apodized band + random point-source holes at all
+# latitudes — azimuthally NON-uniform, so the blocked-MH singles run
+# through the memory-bounded chunked phi-domain engine (the realistic-mask
+# configuration; the reference's actual mask is Planck HFI GalPlane-apo0 +
+# point sources, config.py:22-28)
+MASK_KIND = os.environ.get("BENCH_MASK", "band")
 # BENCH_BASELINE=1: run the same sampler as ONE chain on CPU and print the
 # measured sec/iter (the reference's unit of compute: one process of the
 # SLURM array, job-script.sh:6).  Results are committed to
@@ -115,12 +123,38 @@ def build():
         grid = None
     else:
         grid = gauss_legendre_grid(LMAX)
-        # analytic ~80% f_sky galactic cut (the reference's mask role,
-        # config.py:22-28)
         theta = grid.theta
         lat = np.abs(np.pi / 2 - theta)
-        ring_keep = (lat > 0.2).astype(np.float64)   # cut +-11.5 deg band
-        mask = np.broadcast_to(ring_keep[:, None], (grid.nrings, grid.nphi))
+        if MASK_KIND == "planckish":
+            # apodized +-11.5 deg band (3 deg cosine ramp) + point-source
+            # holes (~0.35 deg radius) at random positions over the whole
+            # sphere — the realistic-mask configuration (reference:
+            # config.py:22-28, Planck HFI mask + point sources)
+            b0, apo = np.radians(11.5), np.radians(3.0)
+            x = np.clip((lat - b0) / apo, 0.0, 1.0)
+            keep = 0.5 - 0.5 * np.cos(np.pi * x)
+            mask = np.broadcast_to(
+                keep[:, None], (grid.nrings, grid.nphi)).copy()
+            rng = np.random.default_rng(5)
+            nholes = int(os.environ.get("BENCH_NHOLES", "200"))
+            rhole = np.radians(0.35)
+            phi = 2.0 * np.pi * np.arange(grid.nphi) / grid.nphi
+            ct, st = np.cos(theta), np.sin(theta)
+            for _ in range(nholes):
+                ct0 = rng.uniform(-1.0, 1.0)
+                st0 = np.sqrt(1.0 - ct0 * ct0)
+                ph0 = rng.uniform(0.0, 2.0 * np.pi)
+                cosd = (ct0 * ct[:, None]
+                        + st0 * st[:, None] * np.cos(phi[None, :] - ph0))
+                mask[cosd > np.cos(rhole)] = 0.0
+            log(f"planckish mask: apodized band + {nholes} holes, "
+                f"f_sky ~= {mask.mean():.3f}")
+        else:
+            # analytic ~80% f_sky galactic cut (the reference's mask role,
+            # config.py:22-28)
+            ring_keep = (lat > 0.2).astype(np.float64)  # +-11.5 deg band
+            mask = np.broadcast_to(ring_keep[:, None],
+                                   (grid.nrings, grid.nphi))
         log(f"building dataset lmax={LMAX} grid={grid.nrings}x{grid.nphi} "
             f"npix={grid.npix}")
         from gibbssampler_tpu.sht import make_sht
@@ -165,18 +199,46 @@ def build():
         nb_ee = len(bins_ee) - 1
         nb_bb = len(bins_bb) - 1
         blocks_ee = [(0, nb_ee)]
-        big = min(277, nb_bb)           # reference block boundary bin 279-2
+        # reference block boundary bin 279-2; at smoke-test sizes keep the
+        # production SHAPE (one big block + per-bin singles) so the
+        # rank-one MH fast path is exercised
+        big = 277 if nb_bb > 277 else max(1, (2 * nb_bb) // 3)
         blocks_bb = [(0, big)] + [(i, i + 1) for i in range(big, nb_bb)]
         sig = [analytic_proposal_sigma(
             np.asarray(model.bl), 0.2 ** 2, model.noise.omega, LMAX, b,
             f_sky=float(np.asarray(model.noise.f_sky)[f]))
             for f, b in enumerate((bins_ee, bins_bb))]
+        # tuned proposal scales from the two-phase warmup
+        # (tools/tune_flagship.py — the reference's preliminary-run
+        # workflow, config.py:136-225); BENCH_TUNED=0 to pin the analytic
+        # heuristic
+        tuned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tuned_proposals.json")
+        if int(os.environ.get("BENCH_TUNED", "1")) \
+                and os.path.exists(tuned_path):
+            try:
+                with open(tuned_path) as f:
+                    t = json.load(f)
+                if (t.get("scheme") == "asis" and t.get("grid") == GRID
+                        and t.get("lmax") == LMAX
+                        and t.get("nbins") == [len(s) for s in sig]):
+                    sig = [np.asarray(x, dtype=np.float64)
+                           for x in t["sig"]]
+                    log("using tuned proposal sigmas "
+                        "(tuned_proposals.json)")
+            except (ValueError, KeyError) as e:
+                log(f"ignoring tuned_proposals.json: {e}")
         scheme = ASISGibbs(model, [bins_ee, bins_bb],
                            [blocks_ee, blocks_bb], sig,
                            n_iter_mh=int(os.environ.get("BENCH_NITER_MH",
                                                         "1")),
                            cr_method="overrelax",
-                           cr_options={"alpha": -0.995})
+                           cr_options={"alpha": -0.995,
+                                       # overrelaxed sweeps per CR step;
+                                       # the reference flagship runs 20
+                                       # (main_polarization.py:126)
+                                       "n_gibbs": int(os.environ.get(
+                                           "BENCH_NGIBBS", "1"))})
         return scheme, (dl_ee, dl_bb, (bins_ee, bins_bb))
     # Planck-style binning: unit bins to l=50, then widening (config.py:45-46)
     edges = list(range(2, 51))

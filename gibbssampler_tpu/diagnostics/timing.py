@@ -69,6 +69,10 @@ def step_phase_times(scheme, states, key, reps: int = 3):
         import jax as _jax
 
         def _cr_only(scheme, keys, states):
+            if hasattr(states, "cl"):
+                # joint scheme: state carries (lmax+1, k, k) C_ell blocks
+                return _jax.vmap(lambda k, st: scheme._cr(
+                    k, st.cl)[0])(keys, states)
             return _jax.vmap(lambda k, st: scheme._cr_step(
                 k, st.s, scheme.var_cls(st.dl))[0])(keys, states)
 

@@ -235,13 +235,18 @@ def _build(cfg: RunConfig):
 
 def save_checkpoint(path, key, state, chains, iters_done):
     """Resumable snapshot: PRNG key + sampler state + chain history so far
-    (the rebuild of the missing mid-run checkpointing, SURVEY.md 5)."""
+    (the rebuild of the missing mid-run checkpointing, SURVEY.md 5).
+    Handles both scalar-spectrum states (GibbsState: s + per-field dl) and
+    joint block states (JointState: s + (lmax+1, k, k) cl)."""
     flat = {"iters_done": iters_done, "key": np.asarray(key)}
     for f, c in enumerate(chains):
         flat[f"chain_{f}"] = np.asarray(c)
     flat["state_s"] = np.asarray(state.s)
-    for f, d in enumerate(state.dl):
-        flat[f"state_dl_{f}"] = np.asarray(d)
+    if hasattr(state, "cl"):
+        flat["state_cl"] = np.asarray(state.cl)
+    else:
+        for f, d in enumerate(state.dl):
+            flat[f"state_dl_{f}"] = np.asarray(d)
     tmp = str(path) + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, str(path))
@@ -251,22 +256,41 @@ def load_checkpoint(path):
     if not os.path.exists(str(path)):
         return None
     z = np.load(str(path))
-    nf = len([k for k in z.files if k.startswith("state_dl_")])
-    from ..schemes import GibbsState
-    state = GibbsState(
-        s=jnp.asarray(z["state_s"]),
-        dl=tuple(jnp.asarray(z[f"state_dl_{f}"]) for f in range(nf)))
+    if "state_cl" in z.files:
+        from ..schemes.joint_scheme import JointState
+        state = JointState(s=jnp.asarray(z["state_s"]),
+                           cl=jnp.asarray(z["state_cl"]))
+        nf = len([k for k in z.files if k.startswith("chain_")])
+    else:
+        nf = len([k for k in z.files if k.startswith("state_dl_")])
+        from ..schemes import GibbsState
+        state = GibbsState(
+            s=jnp.asarray(z["state_s"]),
+            dl=tuple(jnp.asarray(z[f"state_dl_{f}"]) for f in range(nf)))
     chains = [z[f"chain_{f}"] for f in range(nf)]
     return dict(iters_done=int(z["iters_done"]), key=jnp.asarray(z["key"]),
                 state=state, chains=chains)
 
 
+def _joint_summary_chain(chain, lmin: int):
+    """(nchains, n_iter, L, k, k) joint block chain -> (nchains, n_iter,
+    nscalar) over the unique (l >= lmin, upper-triangle) entries, the
+    scalar series the ESS/R-hat diagnostics run on."""
+    c = np.asarray(chain, dtype=np.float64)
+    k = c.shape[-1]
+    iu, ju = np.triu_indices(k)
+    flat = c[..., iu, ju][:, :, lmin:, :]     # (nc, ni, L-lmin, k(k+1)/2)
+    return flat.reshape(c.shape[0], c.shape[1], -1)
+
+
 def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
     """Segmented run with checkpoint/resume; returns the results dict and
-    writes it to cfg.out."""
+    writes it to cfg.out.  Every scheme — including ``joint`` — goes
+    through the same segmented loop: checkpoint/resume, acceptance
+    histories, and optional per-phase step timings (the reference's
+    result-dict contract, main_polarization.py:175-185)."""
     scheme, dl0, truth = _build(cfg)
-    if cfg.scheme == "joint":
-        return _run_joint(cfg, scheme, dl0[0], verbose)
+    joint = cfg.scheme == "joint"
     ckpt_path = cfg.out + ".ckpt.npz"
     ck = load_checkpoint(ckpt_path) if resume else None
 
@@ -277,8 +301,12 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
         from ..schemes.gibbs import _init_scheme
         kinit, key = jax.random.split(key)
         init_keys = jax.random.split(kinit, cfg.nchains)
-        dl0j = tuple(jnp.asarray(d, dtype=scheme.model.sht.dtype)
-                     for d in dl0)
+        if joint:
+            scheme.check_cl_init(dl0[0])
+            dl0j = jnp.asarray(dl0[0], dtype=scheme.model.sht.dtype)
+        else:
+            dl0j = tuple(jnp.asarray(d, dtype=scheme.model.sht.dtype)
+                         for d in dl0)
         states = _init_scheme(scheme, init_keys, dl0j)
     else:
         iters_done = ck["iters_done"]
@@ -326,7 +354,8 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
         verbose(f"segment done: {iters_done}/{cfg.n_iter} iters "
                 f"({dt:.1f}s, {dt / seg * 1e3:.0f} ms/iter)")
 
-    summaries = [summarize_chains(c) for c in chains]
+    summaries = [summarize_chains(_joint_summary_chain(c, scheme.lmin)
+                                  if joint else c) for c in chains]
     results = {
         "config": json.dumps({k: (v.tolist() if isinstance(v, np.ndarray)
                                   else v)
@@ -359,26 +388,6 @@ def run_experiment(cfg: RunConfig, resume: bool = True, verbose=print):
         os.remove(ckpt_path)
     except OSError:
         pass
-    return results
-
-
-def _run_joint(cfg, scheme, C0, verbose):
-    """Joint-scheme runs: chains of (lmax+1, k, k) D_ell blocks."""
-    import jax.numpy as jnp
-    t0 = time.time()
-    out = scheme.run(jax.random.PRNGKey(cfg.seed + 1), jnp.asarray(C0),
-                     n_iter=cfg.n_iter, nchains=cfg.nchains)
-    jax.block_until_ready(out["dl_chains"])
-    chain = np.asarray(out["dl_chains"][0])
-    results = {
-        "config": json.dumps({k: (v.tolist() if isinstance(v, np.ndarray)
-                                  else v)
-                              for k, v in dataclasses.asdict(cfg).items()}),
-        "durations": np.asarray([time.time() - t0]),
-        "dl_chain_0": chain,
-    }
-    np.savez(cfg.out, **results)
-    verbose(f"joint run done: chain {chain.shape}")
     return results
 
 

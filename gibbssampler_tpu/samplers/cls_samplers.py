@@ -265,22 +265,30 @@ _MDOMAIN_CHUNK = int(_os.environ.get("GS_MDOMAIN_CHUNK", "16"))
 # unroll factor of the scalar singles scan (tuning knob; >1 trades compile
 # time/register pressure for fewer sequential kernel launches)
 _MDOMAIN_UNROLL = int(_os.environ.get("GS_MDOMAIN_UNROLL", "1"))
+# phi-domain singles chunk: bounds the live per-bin map-stack memory of the
+# general-mask (azimuthally non-uniform w) fallback engine — the full
+# (nsingles, nmaps, ncut, nphi) stack OOMs 128 chains at production scale;
+# chunks of ~16 bins keep peak memory O(chunk * ncut * nphi) per chain
+_PHI_CHUNK = int(_os.environ.get("GS_PHI_CHUNK", "16"))
 
 
 def _prepare_mchunks(singles, single_rows, bins_list,
                      chunk_size: int | None = None):
-    if chunk_size is None:
-        chunk_size = _MDOMAIN_CHUNK
     """Static chunking of the single-bin blocks for the m-domain sweep:
-    field-pure chunks of at most chunk_size bins, each described by
+    field-pure chunks of at most chunk_size bins AND at most chunk_size
+    selected ells (wide bins count by their ell width, so the live-memory
+    bound GS_MDOMAIN_CHUNK documents really holds), each described by
     (field, j_idx, seg, gbins, rows) with j_idx the chunk's selected ells,
     seg the (J, nb) segment matrix (None when all bins are single ells)."""
+    if chunk_size is None:
+        chunk_size = _MDOMAIN_CHUNK
     groups = []
     cur = None
     for (f, lo, gi), row in zip(singles, single_rows):
         bins_f = np.asarray(bins_list[f])
         js = list(range(int(bins_f[lo]), int(bins_f[lo + 1])))
-        if cur is None or cur["f"] != f or len(cur["gbins"]) >= chunk_size:
+        if cur is None or cur["f"] != f or len(cur["gbins"]) >= chunk_size \
+                or len(cur["j"]) >= chunk_size:
             cur = {"f": f, "j": [], "wid": [], "gbins": [], "rows": []}
             groups.append(cur)
         cur["j"].extend(js)
@@ -483,47 +491,46 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
     cut = model.cut_sht
     zeros = jnp.zeros_like(t[0])
-    a_singles = q_diag = None
-    if singles and not use_m:
-        # phi-domain fallback (general, non-uniform w): A t_i for every
-        # single bin through one batched ell-selected cut synthesis per
-        # field; maps stacked over the model's field/map axis
-        a_parts = {}
-        for f in range(nfields):
-            bins_f = np.asarray(bins_list[f])
-            lo_idx = [lo for (ff, lo, _) in singles if ff == f]
-            if not lo_idx:
-                continue
-            sel = np.zeros((len(lo_idx), L))
-            for k, lo in enumerate(lo_idx):
-                sel[k, bins_f[lo]: bins_f[lo + 1]] = 1.0
-            sel = jnp.asarray(sel, dt)
-            if model.spin == 0:
-                a = cut.synthesis_state_lsel(t[0], sel)[..., None, :, :]
-            elif model.spin == 2:
-                if f == 0:
-                    q, u_ = cut.synthesis_spin2_state_lsel(t[0], zeros, sel)
-                else:
-                    q, u_ = cut.synthesis_spin2_state_lsel(zeros, t[1], sel)
-                a = jnp.stack([q, u_], axis=-3)
-            else:                       # spin 3: (T, E, B) <-> (T, Q, U)
-                if f == 0:
-                    tm = cut.synthesis_state_lsel(t[0], sel)
-                    a = jnp.stack([tm, jnp.zeros_like(tm),
-                                   jnp.zeros_like(tm)], axis=-3)
-                else:
-                    e_in = t[1] if f == 1 else zeros
-                    b_in = t[2] if f == 2 else zeros
-                    q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
-                    a = jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
-            a_parts[f] = a              # (nb_f, nfmaps, ncut, nphi)
-        a_singles = jnp.concatenate(
-            [a_parts[f] for f in range(nfields) if f in a_parts], axis=-4)
     w_cut = model.w_cut.astype(dt)
-    if a_singles is not None:
-        q_diag = jnp.sum(w_cut * a_singles * a_singles, axis=(-3, -2, -1))
-    gbin_singles = jnp.asarray([gi for (_, _, gi) in singles]) \
-        if singles else None
+    phi_chunks = None
+    if singles and not use_m:
+        # phi-domain fallback (general, non-uniform w): process the singles
+        # in static chunks, each chunk's per-bin maps A t_i built by one
+        # ell-selected cut synthesis INSIDE the sweep — peak memory is
+        # O(chunk * nmaps * ncut * nphi) per chain instead of the full
+        # (nsingles, ...) stack (which OOMs 128 chains at production scale)
+        phi_chunks = _prepare_mchunks(singles, single_rows, bins_list,
+                                      chunk_size=_PHI_CHUNK)
+
+    def _phi_chunk_maps(f, j_idx, seg):
+        """(nb, nfmaps, ncut, nphi) per-bin component maps A t_i of one
+        field-pure chunk, zero-filled on the map components the field does
+        not occupy (matches the full-stack layout the residual carries)."""
+        nbc = len(j_idx) if seg is None else seg.shape[1]
+        sel = np.zeros((nbc, L))
+        if seg is None:
+            sel[np.arange(nbc), np.asarray(j_idx)] = 1.0
+        else:
+            for jj, l in enumerate(np.asarray(j_idx)):
+                sel[int(np.argmax(seg[jj])), l] = 1.0
+        sel = jnp.asarray(sel, dt)
+        if model.spin == 0:
+            return cut.synthesis_state_lsel(t[0], sel)[..., None, :, :]
+        if model.spin == 2:
+            if f == 0:
+                q, u_ = cut.synthesis_spin2_state_lsel(t[0], zeros, sel)
+            else:
+                q, u_ = cut.synthesis_spin2_state_lsel(zeros, t[1], sel)
+            return jnp.stack([q, u_], axis=-3)
+        # spin 3: (T, E, B) <-> (T, Q, U)
+        if f == 0:
+            tm = cut.synthesis_state_lsel(t[0], sel)
+            z = jnp.zeros_like(tm)
+            return jnp.stack([tm, z, z], axis=-3)
+        e_in = t[1] if f == 1 else zeros
+        b_in = t[2] if f == 2 else zeros
+        q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
+        return jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
 
     def u_of(dlcat):
         parts = [jnp.sqrt(expand_cl_state(
@@ -544,11 +551,17 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         pwc, pws = cut.ring_dot_weights()
         w_ring = w_cut[..., 0]                      # (nfmaps, ncut) uniform
         # table-domain engine: needs phase-free rings (the A/B cross terms
-        # cancel only without the per-ring phase rotation) and one shared
-        # mask across map components; "m" pins the coefficient engine
+        # cancel only without the per-ring phase rotation), one shared
+        # mask across map components, and nphi strictly above the Nyquist
+        # nphi = 2 lmax — at exactly 2 lmax the m = lmax column carries
+        # (pw_cos, pw_sin) = (nphi, 0) (transform.ring_dot_weights), which
+        # the omega/Wsum tables do not special-case; the coefficient engine
+        # is Nyquist-exact through pwc/pws, so fall back to it there.
+        # "m" pins the coefficient engine
         use_t = (mdomain != "m"
                  and not getattr(cut, "has_phase", True)
-                 and getattr(model, "cut_w_equal_fields", False))
+                 and getattr(model, "cut_w_equal_fields", False)
+                 and getattr(cut, "nphi", 0) > 2 * model.lmax)
         if use_t:
             w1 = w_ring[0]
             pos_t = jnp.ones((L,), dt).at[0].set(0.0)
@@ -583,7 +596,8 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
     def sweep_phi(carry, k):
         """phi-domain sweep: per-bin pixel maps a_i carried through the
-        singles scan (general w; the original rank-one fast path)."""
+        singles scan (general w; the original rank-one fast path), one
+        memory-bounded chunk at a time."""
         dlcat, ll, resid = carry
         kp, ka = jax.random.split(k)
         props = propose_truncnorm(kp, dlcat, sigma)
@@ -593,10 +607,12 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         dlcat, ll, resid, accs = _bigs(dlcat, ll, resid, props, lr_vec,
                                        akeys, accs, lambda r: r)
 
-        if singles:
-            xs = (gbin_singles, a_singles, q_diag,
-                  alpha[gbin_singles], beta[gbin_singles],
-                  akeys[jnp.asarray(single_rows)])
+        for (f, j_idx, seg, gbins, rows) in (phi_chunks or ()):
+            a_c = _phi_chunk_maps(f, j_idx, seg)
+            q_c = jnp.sum(w_cut * a_c * a_c, axis=(-3, -2, -1))
+            gb = jnp.asarray(gbins)
+            xs = (gb, a_c, q_c, alpha[gb], beta[gb],
+                  akeys[jnp.asarray(rows)])
 
             def one(carry, x):
                 dlcat, ll, resid = carry
@@ -617,7 +633,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
             (dlcat, ll, resid), acc_s = jax.lax.scan(
                 one, (dlcat, ll, resid), xs)
-            accs = accs.at[jnp.asarray(single_rows)].set(acc_s)
+            accs = accs.at[jnp.asarray(rows)].set(acc_s)
 
         return (dlcat, ll, resid), accs
 

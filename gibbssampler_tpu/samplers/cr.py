@@ -73,7 +73,7 @@ def noise_pool_spec(method: str, opts: dict) -> dict:
         "cg": {"state": 1, "pix": 1},
         "rjpo": {"state": 1, "pix": 1},
         "aux_gibbs": {"state": n_g, "aux": n_g},
-        "overrelax": {"state": 2, "aux": 2},
+        "overrelax": {"state": 2 * n_g, "aux": 1 + n_g},
         "mala": {"state": 1},
         "ula": {"state": 1},
         "aux_mala": {"state": n_g + 1, "aux": n_g},
@@ -304,37 +304,50 @@ def aux_gibbs_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
 
 def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
-                 alpha: float = -0.995, eps=1e-7, noise=None):
-    """Overrelaxed auxiliary sweep s|v, v|s, s|v with
+                 alpha: float = -0.995, n_gibbs: int = 1, eps=1e-7,
+                 noise=None):
+    """Overrelaxed auxiliary sampler: one plain v|s draw to define the
+    auxiliary chain state, then ``n_gibbs`` overrelaxed sweeps of
+    (s|v, v|s, s|v) with
     x <- m + alpha (x - m) + sqrt(1 - alpha^2) sqrt(Sigma) xi, alpha = -0.995
-    (reference: CenteredGibbs.py:733-825, alpha at :244)."""
+    (reference: CenteredGibbs.py:733-825, alpha at :244; the flagship ASIS
+    configuration runs n_gibbs = 20 sweeps per CR step,
+    main_polarization.py:126)."""
     gap, sigma, fwd, proj = _aux_ops(model, var_cls, eps)
     pool = _as_pool(noise)
     dt = var_cls.dtype
     sq = jnp.sqrt(jnp.asarray(1.0 - alpha * alpha, dt))
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    kinit, kscan = jax.random.split(key)
     s = s_old * _active(var_cls)
 
-    def draw(k, kind, shape):
-        if pool:
-            return pool.take(kind)
-        return jax.random.normal(k, shape, dtype=dt)
-
     # initial v draw (plain) to define the chain state
-    xi = draw(k1, "aux", gap.shape)
+    xi = pool.take("aux") if pool else jax.random.normal(kinit, gap.shape,
+                                                         dtype=dt)
     v = gap * fwd(s) + jnp.sqrt(gap) * xi
-    # overrelaxed s | v
-    m = sigma * (proj(v) + bt_ninv_d)
-    xi = draw(k2, "state", var_cls.shape)
-    s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
-    # overrelaxed v | s
-    mv = gap * fwd(s)
-    xi = draw(k3, "aux", gap.shape)
-    v = mv + alpha * (v - mv) + sq * jnp.sqrt(gap) * xi
-    # overrelaxed s | v
-    m = sigma * (proj(v) + bt_ninv_d)
-    xi = draw(k4, "state", var_cls.shape)
-    s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi
+
+    def sweep(carry, xs):
+        s, v = carry
+        k, xi_s1, xi_v, xi_s2 = xs
+        if xi_s1 is None:
+            k1, k2, k3 = jax.random.split(k, 3)
+            xi_s1 = jax.random.normal(k1, var_cls.shape, dtype=dt)
+            xi_v = jax.random.normal(k2, gap.shape, dtype=dt)
+            xi_s2 = jax.random.normal(k3, var_cls.shape, dtype=dt)
+        m = sigma * (proj(v) + bt_ninv_d)
+        s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi_s1
+        mv = gap * fwd(s)
+        v = mv + alpha * (v - mv) + sq * jnp.sqrt(gap) * xi_v
+        m = sigma * (proj(v) + bt_ninv_d)
+        s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi_s2
+        return (s, v), None
+
+    keys = jax.random.split(kscan, n_gibbs)
+    if pool:
+        st = pool.take("state", 2 * n_gibbs)
+        xs = (keys, st[0::2], pool.take("aux", n_gibbs), st[1::2])
+    else:
+        xs = (keys, None, None, None)
+    (s, v), _ = jax.lax.scan(sweep, (s, v), xs)
     return s, CRInfo(accept=jnp.ones((), dt), extra=jnp.zeros((), dt))
 
 

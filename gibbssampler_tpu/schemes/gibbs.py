@@ -106,7 +106,7 @@ def _make_cr_step(method: str, model: SkyModel, bt_ninv_d, opts: dict):
     if method == "overrelax":
         return lambda key, s, var, noise=None: cr_mod.overrelax_cr(
             key, model, var, bt_ninv_d, s, alpha=opts.get("alpha", -0.995),
-            noise=noise)
+            n_gibbs=opts.get("n_gibbs", 1), noise=noise)
     if method == "mala":
         return lambda key, s, var, noise=None: cr_mod.mala_cr(
             key, model, var, bt_ninv_d, s, tau=opts.get("tau", 0.02),

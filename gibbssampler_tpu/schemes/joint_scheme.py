@@ -71,15 +71,18 @@ class JointCenteredGibbs:
                 "cr_accept": cr_info.accept}
         return JointState(s=s, cl=cl), info
 
-    def run(self, key, cl_init, n_iter: int, nchains: int = 1):
-        # non-SPD blocks make the per-slot Cholesky silently NaN; validate
-        # the (host-side) initial spectrum up front
+    def check_cl_init(self, cl_init):
+        """Validate the (host-side) initial spectrum: non-SPD blocks make
+        the per-slot Cholesky silently NaN."""
         ev = np.linalg.eigvalsh(np.asarray(cl_init)[self.lmin:])
         if not (ev >= -1e-12 * max(1.0, float(np.abs(ev).max()))).all():
             raise ValueError(
                 "cl_init has non-positive-semidefinite blocks (e.g. |TE| > "
                 "sqrt(TT*EE)); min eigenvalue "
                 f"{float(ev.min()):.3e} at l>={self.lmin}")
+
+    def run(self, key, cl_init, n_iter: int, nchains: int = 1):
+        self.check_cl_init(cl_init)
         from .gibbs import _init_scheme
         kinit, krun = jax.random.split(key)
         init_keys = jax.random.split(kinit, nchains)

@@ -257,6 +257,75 @@ def test_joint_cg_on_cut_model():
                                rtol=1e-6)
 
 
+def test_phi_engine_holey_mask_matches_direct(monkeypatch):
+    """Realistic-mask fallback: a mask with apodized band + point-source
+    holes (azimuthally NON-uniform w, so the m-domain engines are
+    ineligible) goes through the memory-bounded chunked phi-domain engine,
+    which must equal the direct nc_cls_sample path bit-near over whole
+    chains (fp64).  GS_PHI_CHUNK is forced tiny so several chunks and the
+    cross-chunk residual handoff are exercised."""
+    from gibbssampler_tpu.samplers import cls_samplers as cs
+    from gibbssampler_tpu.schemes import ASISGibbs
+    from gibbssampler_tpu.sht import gauss_legendre_grid
+
+    grid = gauss_legendre_grid(LMAX)
+    lat = np.abs(np.pi / 2 - grid.theta)
+    # apodized band: smooth ramp over ~0.15 rad instead of a hard edge
+    keep = np.clip((lat - 0.25) / 0.15, 0.0, 1.0)
+    mask = np.broadcast_to(keep[:, None],
+                           (grid.nrings, grid.nphi)).copy()
+    # point-source holes off the band, at several latitudes/longitudes
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        r = rng.integers(0, grid.nrings)
+        p = rng.integers(0, grid.nphi)
+        mask[r, p: p + 2] = 0.0
+    fields = np.stack([example_dl(LMAX, "ee", amp=10.0),
+                       example_dl(LMAX, "bb", amp=10.0)])
+    model, _ = simulate_dataset(jax.random.PRNGKey(4), LMAX, spin=2,
+                                dl_fields=fields, noise_sigma2=0.5,
+                                fwhm_radians=0.05, mask=mask,
+                                dtype=jnp.float64)
+    mc = with_cut_decomposition(model)
+    assert not mc.cut_w_uniform
+    assert not cs._mdomain_eligible(mc)
+    monkeypatch.setattr(cs, "_PHI_CHUNK", 3)
+    bins = np.arange(2, LMAX + 2)
+    nb = len(bins) - 1
+    blocks_ee = [(0, nb)]
+    blocks_bb = [(0, nb // 2)] + [(i, i + 1) for i in range(nb // 2, nb)]
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(np.maximum(f[2:], 1e-6) for f in fields)
+    kw = dict(n_iter_mh=2, cr_method="overrelax")
+    fast = ASISGibbs(mc, [bins] * 2, [blocks_ee, blocks_bb], sig, **kw)
+    assert fast._use_cut_mh
+    direct = ASISGibbs(mc, [bins] * 2, [blocks_ee, blocks_bb], sig,
+                       mh_fast="off", **kw)
+    out_f = fast.run(jax.random.PRNGKey(51), dl0, n_iter=25, nchains=2)
+    out_d = direct.run(jax.random.PRNGKey(51), dl0, n_iter=25, nchains=2)
+    for f in range(2):
+        np.testing.assert_allclose(np.asarray(out_f["dl_chains"][f]),
+                                   np.asarray(out_d["dl_chains"][f]),
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out_f["mh_accept"][f]),
+                                   np.asarray(out_d["mh_accept"][f]),
+                                   atol=1e-12)
+    # kernel-level (eager, jit-cache-proof): chunk 3 == chunk 1000 bit-near
+    dl0j = tuple(jnp.asarray(d) for d in dl0)
+    s_nc = jax.random.normal(jax.random.PRNGKey(33), (2, model.nstate))
+    key = jax.random.PRNGKey(61)
+    dl_a, _ = cs.nc_cls_sample_cut(key, dl0j, s_nc, mc, [bins] * 2,
+                                   [blocks_ee, blocks_bb], sig, n_iter=2,
+                                   mdomain=False)
+    monkeypatch.setattr(cs, "_PHI_CHUNK", 1000)
+    dl_b, _ = cs.nc_cls_sample_cut(key, dl0j, s_nc, mc, [bins] * 2,
+                                   [blocks_ee, blocks_bb], sig, n_iter=2,
+                                   mdomain=False)
+    for f in range(2):
+        np.testing.assert_allclose(np.asarray(dl_a[f]), np.asarray(dl_b[f]),
+                                   rtol=1e-9, atol=1e-12)
+
+
 def test_asis_fast_path_matches_direct_scheme():
     """Full ASIS chains with the rank-one MH fast path equal the direct
     nc_cls_sample path bit-near (same model, same keys) — the scheme-level
@@ -625,6 +694,38 @@ def test_mdomain_sweep_matches_phi_sweep(spin):
             np.testing.assert_allclose(np.asarray(info_b.accept[f]),
                                        np.asarray(info_a.accept[f]),
                                        atol=1e-12)
+
+
+@pytest.mark.parametrize("spin", [0, 2])
+def test_mdomain_sweep_matches_phi_sweep_healpix(spin):
+    """The m-domain coefficient engine on a PHASED grid: HEALPix belt rows
+    carry per-ring phi0 offsets (has_phase=True), so the engine's rotated
+    (Cc, Cs) handling must still reproduce the phi-domain rank-one path
+    bit-near over whole chains (fp64) — the production HEALPix path this
+    engine exists for."""
+    from gibbssampler_tpu.samplers import cls_samplers as cs
+    model, mc, fields = make_masked_healpix(spin=spin, sigma2=0.5)
+    lmax = model.lmax
+    assert cs._mdomain_eligible(mc)
+    assert getattr(mc.cut_sht, "has_phase", False)
+    nf = mc.nfields
+    bins = [np.arange(2, lmax + 2)] * nf
+    nb = lmax - 1
+    blocks = ([[(0, nb)] for _ in range(nf - 1)]
+              + [[(0, nb // 2)] + [(i, i + 1) for i in range(nb // 2, nb)]])
+    sig = [np.maximum(np.abs(f[2:]), 1e-5) * 0.5 for f in fields]
+    dl0 = tuple(jnp.asarray(np.maximum(f[2:], 1e-6)) for f in fields)
+    s_nc = jax.random.normal(jax.random.PRNGKey(32), (nf, model.nstate))
+    key = jax.random.PRNGKey(60)
+    dl_a, info_a = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                        sig, n_iter=3, mdomain=False)
+    dl_b, info_b = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
+                                        sig, n_iter=3, mdomain=True)
+    for f in range(nf):
+        np.testing.assert_allclose(np.asarray(dl_b[f]), np.asarray(dl_a[f]),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(info_b.accept[f]),
+                                   np.asarray(info_a.accept[f]), atol=1e-12)
 
 
 def test_mdomain_singles_spanning_fields_spin3():

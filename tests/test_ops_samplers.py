@@ -203,7 +203,11 @@ def test_aux_gibbs_preserves_posterior():
                                np.asarray(v_ref[0, 2:40]), rtol=0.5)
 
 
-def test_overrelax_preserves_posterior():
+@pytest.mark.parametrize("n_gibbs", [1, 3])
+def test_overrelax_preserves_posterior(n_gibbs):
+    """Stationarity of the overrelaxed auxiliary sampler, incl. the
+    multi-sweep form (the reference flagship runs n_gibbs = 20 sweeps per
+    CR step, main_polarization.py:126)."""
     model, _, fields = make_model(spin=0)
     mask = ring_mask(model, 0.2)
     model_m, _, _ = make_model(spin=0, mask=mask)
@@ -214,8 +218,8 @@ def test_overrelax_preserves_posterior():
     ref_draws = jax.vmap(lambda k: cg_cr(k, model_m, var, bt,
                                          tol=1e-10)[0])(keys)
     keys2 = jax.random.split(jax.random.PRNGKey(9), nch)
-    moved = jax.vmap(lambda k, s: overrelax_cr(k, model_m, var, bt,
-                                               s)[0])(keys2, ref_draws)
+    moved = jax.vmap(lambda k, s: overrelax_cr(
+        k, model_m, var, bt, s, n_gibbs=n_gibbs)[0])(keys2, ref_draws)
     m_ref, m_new = jnp.mean(ref_draws, 0), jnp.mean(moved, 0)
     v_ref = jnp.var(ref_draws, 0)
     scale = float(jnp.max(jnp.sqrt(v_ref)))
@@ -279,13 +283,14 @@ def test_pcn_acceptance_and_invariance():
 
 
 def test_cg_production_mask_iteration_bound():
-    """Production-scale conditioning evidence for the masked CG: at
-    lmax=128 with the ~80% galactic band cut and the diag_cl-style
-    preconditioner (cr_precond), the lockstep solve converges to the
-    reference's tolerances well inside its 4000-iteration budget
-    (reference descriptor: ConstrainedRealization.py:40-41).  Measured
-    headroom (lmax=512 table in docs/PERF.md) shrinks slowly with lmax, so
-    this bound pins the preconditioner's quality, not a lucky small case."""
+    """Conditioning evidence for the masked CG: at lmax=128 with the ~80%
+    galactic band cut and the diag_cl-style preconditioner (cr_precond),
+    the lockstep solve converges to the reference's tolerances well inside
+    its 4000-iteration budget (reference descriptor:
+    ConstrainedRealization.py:40-41).  This CPU-sized case pins the
+    preconditioner's quality in CI; the production-scale numbers (lmax=512,
+    several band widths, both tolerances, measured on the TPU via
+    tools/cg_scale.py) are recorded in docs/PERF.md's masked-CG table."""
     from gibbssampler_tpu.inference import example_dl, simulate_dataset
     from gibbssampler_tpu.ops import with_cut_decomposition
     from gibbssampler_tpu.ops.cg import cg_solve

@@ -118,12 +118,51 @@ def test_run_experiment_mask_fits(tmp_path):
 
 
 def test_run_experiment_joint(tmp_path):
+    """scheme='joint' is a first-class runner path: segmented like every
+    other scheme, with per-segment durations, CR acceptance histories,
+    per-phase step timings, and ESS/R-hat summaries over the unique
+    (l >= lmin, upper-triangle) block entries."""
     out = str(tmp_path / "joint.npz")
     cfg = RunConfig(lmax=10, spin=3, scheme="joint", n_iter=20, nchains=2,
-                    dtype="float64", out=out, noise_sigma2=0.5)
+                    segment=8, dtype="float64", out=out, noise_sigma2=0.5,
+                    time_steps=True)
     res = run_experiment(cfg, verbose=lambda *a: None)
     z = np.load(out)
     assert z["dl_chain_0"].shape == (2, 20, 11, 3, 3)
+    assert np.isfinite(z["dl_chain_0"]).all()
+    assert len(z["durations"]) == 3               # 8 + 8 + 4
+    assert not os.path.exists(out + ".ckpt.npz")
+    assert z["cr_accept_chain"].shape[1] == 20
+    assert z["step_time_full"].shape == (3,)
+    # summaries over (L - lmin) * k(k+1)/2 = 9 * 6 scalar series
+    assert z["ess_0"].shape == (54,)
+    assert np.isfinite(z["ess_0"]).all()
+
+
+def test_run_experiment_joint_crash_resume(tmp_path):
+    """Joint runs resume from a mid-run checkpoint exactly like the scalar
+    schemes (the scalar path's crash-resume contract)."""
+    import jax
+    from gibbssampler_tpu.inference import save_checkpoint
+    from gibbssampler_tpu.schemes.joint_scheme import JointState
+
+    out = str(tmp_path / "jr.npz")
+    cfg = RunConfig(lmax=10, spin=3, scheme="joint", n_iter=24, nchains=2,
+                    segment=8, dtype="float64", out=out, noise_sigma2=0.5)
+    # run the first segment only, then rebuild its checkpoint and resume
+    cfg_first = RunConfig(**{**cfg.__dict__, "n_iter": 8})
+    run_experiment(cfg_first, verbose=lambda *a: None)
+    z8 = np.load(out)
+    nstate = 2 * 11 * 11
+    state = JointState(s=jnp.zeros((2, 3, nstate)),
+                       cl=jnp.asarray(z8["dl_chain_0"][:, -1]))
+    save_checkpoint(out + ".ckpt.npz", jax.random.PRNGKey(9), state,
+                    [z8["dl_chain_0"]], 8)
+    logs = []
+    run_experiment(cfg, resume=True, verbose=logs.append)
+    assert any("resumed at iteration 8" in str(l) for l in logs)
+    z = np.load(out)
+    assert z["dl_chain_0"].shape == (2, 24, 11, 3, 3)
     assert np.isfinite(z["dl_chain_0"]).all()
 
 

@@ -29,6 +29,10 @@ import numpy as np
 
 LMAX = int(os.environ.get("CG_LMAX", "512"))
 NCHAINS = int(os.environ.get("CG_NCHAINS", "8"))
+# fp64 is the reference's working precision (qcinv on numpy doubles); with
+# the cut decomposition the Q apply runs over the masked rings only, so
+# fp64 tables stay small even at lmax=512
+DTYPE = os.environ.get("CG_DTYPE", "float64")
 MAXITER = int(os.environ.get("CG_MAXITER", "4000"))
 CUT = bool(int(os.environ.get("CG_CUT", "1")))
 # band half-widths (deg) -> approximate f_sky of the kept region
@@ -56,7 +60,7 @@ def build(band_deg):
         jax.random.PRNGKey(0), LMAX, spin=2,
         dl_fields=np.stack([dl_ee, dl_bb]),
         noise_sigma2=0.2 ** 2, fwhm_radians=np.radians(0.5), mask=mask,
-        dtype=jnp.float32, grid=grid)
+        dtype=jnp.dtype(DTYPE), grid=grid)
     if CUT:
         from gibbssampler_tpu.ops import with_cut_decomposition
         model = with_cut_decomposition(model)
@@ -102,7 +106,18 @@ def measure(model, dls, tol):
         x, info = solve(keys, model)
         jax.block_until_ready(x)
     ms = (time.time() - t0) / nrep * 1e3
-    return iters, conv, ms
+
+    # RJPO acceptance at this tolerance: seed the chain at a converged CG
+    # draw, then one rjpo_cr step per chain at the tested (tol, maxiter)
+    # budget (the reference's MH-corrected PCG, CenteredGibbs.py:606-674)
+    from gibbssampler_tpu.samplers.cr import rjpo_cr
+    rjpo = jax.jit(jax.vmap(
+        lambda k, s, m: rjpo_cr(k, m, var, bt, s, tol=tol, maxiter=MAXITER),
+        in_axes=(0, 0, None)))
+    keys = jax.random.split(jax.random.PRNGKey(200), NCHAINS)
+    _, rinfo = rjpo(keys, x, model)
+    racc = float(np.mean(np.asarray(rinfo.accept)))
+    return iters, conv, ms, racc
 
 
 def main():
@@ -110,22 +125,23 @@ def main():
     log(f"device: {jax.devices()}")
     rows = []
     print(f"lmax={LMAX} pol masked CG, {NCHAINS} lockstep chains, "
-          f"cut={CUT}, maxiter={MAXITER}")
+          f"cut={CUT}, maxiter={MAXITER}, dtype={DTYPE}")
     print("| band (deg) | f_sky | tol | iters (lockstep max) | converged | "
-          "ms/solve (batch) |")
-    print("|---|---|---|---|---|---|")
+          "ms/solve (batch) | rjpo accept |")
+    print("|---|---|---|---|---|---|---|")
     for band in BANDS:
         model, dls = build(band)
         fsky = float(np.asarray(model.noise.f_sky).mean())
         for tol in TOLS:
-            iters, conv, ms = measure(model, dls, tol)
+            iters, conv, ms, racc = measure(model, dls, tol)
             print(f"| {band:.1f} | {fsky:.3f} | {tol:g} | {iters} | "
-                  f"{conv} | {ms:.0f} |", flush=True)
+                  f"{conv} | {ms:.0f} | {racc:.2f} |", flush=True)
             rows.append({"band_deg": band, "f_sky": round(fsky, 4),
                          "tol": tol, "iters": iters, "converged": conv,
-                         "ms_per_batch_solve": round(ms, 1)})
+                         "ms_per_batch_solve": round(ms, 1),
+                         "rjpo_accept": round(racc, 3)})
     print(json.dumps({"lmax": LMAX, "nchains": NCHAINS, "cut": CUT,
-                      "rows": rows}))
+                      "dtype": DTYPE, "rows": rows}))
 
 
 if __name__ == "__main__":
