@@ -56,7 +56,14 @@ def cg_solve(
     precond : general SPD preconditioner callable M^-1 v (e.g. the
          block-diagonal k x k preconditioner of the joint sampler);
          overrides precond_diag
-    tol : relative tolerance on ||r|| / ||b|| per batch element
+    tol : relative tolerance on ||r|| / ||b|| per batch element.
+         Precision note (measured, tools/cg_scale.py): at production scale
+         (lmax=512 masked polarized sky) fp32 CG STAGNATES before
+         ||r||/||b|| = 1e-5 (4000 iters, no convergence) while fp64
+         converges in ~200-400 iterations — run production-tolerance
+         CG/RJPO solves in float64 (supported on TPU via emulation; with
+         the cut decomposition the fp64 tables stay small).  fp32 is fine
+         at the looser tolerances and small lmax the tests use.
     maxiter : iteration cap (reference budget: 4000)
     ndim_sys : how many trailing axes form one linear system
     """

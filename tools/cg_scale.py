@@ -122,6 +122,10 @@ def measure(model, dls, tol):
 
 def main():
     import jax
+    if DTYPE == "float64":
+        # the JAX_ENABLE_X64 env var is ignored in this image; the config
+        # update is the reliable switch
+        jax.config.update("jax_enable_x64", True)
     log(f"device: {jax.devices()}")
     rows = []
     print(f"lmax={LMAX} pol masked CG, {NCHAINS} lockstep chains, "
