@@ -72,14 +72,25 @@ if BASELINE_MODE:
     import jax as _jax
     _jax.config.update("jax_platforms", "cpu")
 
-# Reference-stack cost of one iteration for the vs_baseline ratio.
-# Estimate from the reference's own micro-bench: ~6 full-sky TQU SHTs per
-# iteration at ~0.5 s each on CPU (reference test.py:11-19) => 3.0 s.  If a
-# measured single-process CPU run of the *same* sampler exists
+# Reference-stack cost of one iteration for the vs_baseline ratio,
+# counted from the reference's own code at ~0.5 s per full-sky TQU
+# transform at nside=256 (its test.py:11-19 micro-bench):
+# - centered aux+MALA: ~6 transforms per iteration => 3.0 s
+# - flagship ASIS: the overrelaxed CR costs 1 + 3 transforms per sweep
+#   (CenteredGibbs.py:733-825) and the blocked MH pays ONE full TQU
+#   synthesis per block likelihood (NonCenteredGibbs.py:333-377; ~136
+#   blocks at lmax=512 with the Planck blocking, config.py:51-55)
+# If a measured single-process CPU run of the *same* sampler exists
 # (BASELINE_MEASURED.json, produced by BENCH_BASELINE=1 on this machine),
 # use min(measured, estimate): the baseline is never allowed to be slower
 # than the reference's own reported numbers would imply.
-REF_SEC_PER_ITER = 3.0
+if SCHEME == "asis":
+    _ngibbs = int(os.environ.get("BENCH_NGIBBS", "1"))
+    _nmh = int(os.environ.get("BENCH_NITER_MH", "1"))
+    _nblocks = 136 if LMAX >= 396 else 12
+    REF_SEC_PER_ITER = 0.5 * (2 + 3 * _ngibbs + _nblocks * _nmh)
+else:
+    REF_SEC_PER_ITER = 3.0
 _bm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
 if os.path.exists(_bm_path):
@@ -228,17 +239,29 @@ def build():
                         "(tuned_proposals.json)")
             except (ValueError, KeyError) as e:
                 log(f"ignoring tuned_proposals.json: {e}")
+        # CR method inside ASIS.  Both come from the reference's own
+        # portfolio: "overrelax" is its flagship constructor argument
+        # (overrelaxation=True, n_gibbs=20, main_polarization.py:126);
+        # "aux_mala" is its centered sampler's "Composition !" default
+        # (CenteredGibbs.py:833-836).  Measured (docs/PERF.md round 4):
+        # overrelax at alpha=-0.995 compounds to alpha^(3 n_gibbs)
+        # correlation with ~1% fresh noise per conditional, so D_ell
+        # (quadratic in s) decorrelates very slowly; aux_mala mixes ~3x
+        # better per iteration at the same step cost.
+        cr = os.environ.get("BENCH_CR", "overrelax")
+        if cr == "overrelax":
+            cr_opts = {"alpha": -0.995,
+                       # overrelaxed sweeps per CR step; the reference
+                       # flagship runs 20 (main_polarization.py:126)
+                       "n_gibbs": int(os.environ.get("BENCH_NGIBBS", "1"))}
+        else:
+            cr_opts = {"n_gibbs": int(os.environ.get("BENCH_NGIBBS", "1")),
+                       "tau": 0.02}
         scheme = ASISGibbs(model, [bins_ee, bins_bb],
                            [blocks_ee, blocks_bb], sig,
                            n_iter_mh=int(os.environ.get("BENCH_NITER_MH",
                                                         "1")),
-                           cr_method="overrelax",
-                           cr_options={"alpha": -0.995,
-                                       # overrelaxed sweeps per CR step;
-                                       # the reference flagship runs 20
-                                       # (main_polarization.py:126)
-                                       "n_gibbs": int(os.environ.get(
-                                           "BENCH_NGIBBS", "1"))})
+                           cr_method=cr, cr_options=cr_opts)
         return scheme, (dl_ee, dl_bb, (bins_ee, bins_bb))
     # Planck-style binning: unit bins to l=50, then widening (config.py:45-46)
     edges = list(range(2, 51))
@@ -337,7 +360,7 @@ def main():
         f"single-process CPU baseline est {baseline:.5f} ESS/s")
     print(json.dumps({
         "metric": f"Cl-chain median pooled ESS/s, polarized masked Gibbs "
-                  f"({'flagship ASIS: overrelax CR + Planck-blocked NC MH'
+                  f"({f'flagship ASIS: {os.environ.get("BENCH_CR", "overrelax")} CR + Planck-blocked NC MH'
                      if SCHEME == 'asis' else 'centered aux+MALA CR'}), "
                   f"lmax={LMAX}, grid={GRID}, {NCHAINS} "
                   f"chains on one chip; vs_baseline = vs one single-chain "

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["analytic_proposal_sigma", "pooled_proposal_sigmas",
-           "proposal_sigmas_from_results", "adapt_segments"]
+           "block_widths", "proposal_sigmas_from_results", "adapt_segments"]
 
 
 def analytic_proposal_sigma(bl, noise_sigma2, omega, lmax: int, bins,
@@ -39,13 +39,30 @@ def analytic_proposal_sigma(bl, noise_sigma2, omega, lmax: int, bins,
 
 
 def pooled_proposal_sigmas(dl_chains, scale: float = 2.38,
-                           floor: float = 1e-12):
-    """Proposal sd per bin from pooled chain variance: 2.38 * sd(D_bin)
-    (optimal 1-d random-walk scaling; pooling over chains and iterations
-    replaces config.py:161-189's file pooling)."""
+                           floor: float = 1e-12, block_width=None):
+    """Proposal sd per bin from pooled chain variance:
+    2.38 * sd(D_bin) / sqrt(d) with d the width (in bins) of the MH block
+    the bin belongs to — the optimal random-walk scaling 2.38/sqrt(d) for
+    a d-dimensional joint block update (the reference's production
+    blocking has 394-bin joint blocks, config.py:51-55, where the 1-d
+    scale collapses acceptance to ~0.02; measured in tools/tune_flagship).
+    ``block_width``: per-bin d (default 1).  Pooling over chains and
+    iterations replaces config.py:161-189's file pooling."""
     dl_chains = np.asarray(dl_chains, dtype=np.float64)
     sd = dl_chains.reshape(-1, dl_chains.shape[-1]).std(axis=0)
+    if block_width is not None:
+        sd = sd / np.sqrt(np.maximum(np.asarray(block_width,
+                                                dtype=np.float64), 1.0))
     return np.maximum(scale * sd, floor)
+
+
+def block_widths(blocks, nbins: int):
+    """(nbins,) width of the MH block each bin belongs to (1 for bins not
+    covered by any block)."""
+    w = np.ones(nbins)
+    for (lo, hi) in blocks:
+        w[lo:hi] = hi - lo
+    return w
 
 
 def proposal_sigmas_from_results(npz_path, nfields: int | None = None,
@@ -101,7 +118,9 @@ def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
                          nchains=nchains)
         new_sig = []
         for f, chain in enumerate(out["dl_chains"]):
-            base = pooled_proposal_sigmas(np.asarray(chain))
+            bw = (block_widths(blocks_list[f], chain.shape[-1])
+                  if blocks_list is not None else None)
+            base = pooled_proposal_sigmas(np.asarray(chain), block_width=bw)
             factor = np.ones_like(base)
             if "mh_accept" in out and blocks_list is not None:
                 # (nchains, n_iter, nblocks_f) -> per-block acceptance

@@ -502,10 +502,12 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         phi_chunks = _prepare_mchunks(singles, single_rows, bins_list,
                                       chunk_size=_PHI_CHUNK)
 
-    def _phi_chunk_maps(f, j_idx, seg):
+    def _phi_chunk_maps(f, j_idx, seg, t_in):
         """(nb, nfmaps, ncut, nphi) per-bin component maps A t_i of one
         field-pure chunk, zero-filled on the map components the field does
-        not occupy (matches the full-stack layout the residual carries)."""
+        not occupy (matches the full-stack layout the residual carries).
+        ``t_in`` is the (possibly barrier-sequenced) per-bin component
+        state."""
         nbc = len(j_idx) if seg is None else seg.shape[1]
         sel = np.zeros((nbc, L))
         if seg is None:
@@ -514,21 +516,22 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
             for jj, l in enumerate(np.asarray(j_idx)):
                 sel[int(np.argmax(seg[jj])), l] = 1.0
         sel = jnp.asarray(sel, dt)
+        z_in = jnp.zeros_like(t_in[0])
         if model.spin == 0:
-            return cut.synthesis_state_lsel(t[0], sel)[..., None, :, :]
+            return cut.synthesis_state_lsel(t_in[0], sel)[..., None, :, :]
         if model.spin == 2:
             if f == 0:
-                q, u_ = cut.synthesis_spin2_state_lsel(t[0], zeros, sel)
+                q, u_ = cut.synthesis_spin2_state_lsel(t_in[0], z_in, sel)
             else:
-                q, u_ = cut.synthesis_spin2_state_lsel(zeros, t[1], sel)
+                q, u_ = cut.synthesis_spin2_state_lsel(z_in, t_in[1], sel)
             return jnp.stack([q, u_], axis=-3)
         # spin 3: (T, E, B) <-> (T, Q, U)
         if f == 0:
-            tm = cut.synthesis_state_lsel(t[0], sel)
+            tm = cut.synthesis_state_lsel(t_in[0], sel)
             z = jnp.zeros_like(tm)
             return jnp.stack([tm, z, z], axis=-3)
-        e_in = t[1] if f == 1 else zeros
-        b_in = t[2] if f == 2 else zeros
+        e_in = t_in[1] if f == 1 else z_in
+        b_in = t_in[2] if f == 2 else z_in
         q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
         return jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
 
@@ -607,8 +610,18 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         dlcat, ll, resid, accs = _bigs(dlcat, ll, resid, props, lr_vec,
                                        akeys, accs, lambda r: r)
 
-        for (f, j_idx, seg, gbins, rows) in (phi_chunks or ()):
-            a_c = _phi_chunk_maps(f, j_idx, seg)
+        t_seq = t
+        for ci, (f, j_idx, seg, gbins, rows) in enumerate(phi_chunks or ()):
+            if ci > 0:
+                # sequence the chunks: without this barrier XLA hoists
+                # every chunk's (nb, nmaps, ncut, nphi) map stack ahead of
+                # the scans and keeps them ALL live (measured 45 GB at 128
+                # chains on a 271-ring planckish mask); tying the chunk's
+                # synthesis input to the previous chunk's carry bounds
+                # liveness at ~one chunk
+                dlcat, ll, resid, t_seq = jax.lax.optimization_barrier(
+                    (dlcat, ll, resid, t_seq))
+            a_c = _phi_chunk_maps(f, j_idx, seg, t_seq)
             q_c = jnp.sum(w_cut * a_c * a_c, axis=(-3, -2, -1))
             gb = jnp.asarray(gbins)
             xs = (gb, a_c, q_c, alpha[gb], beta[gb],
@@ -665,12 +678,24 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         for ci, (f, j_idx, seg, gbins, rows) in enumerate(mchunks):
             comps = _chunk_comps(model, f)
             c0, c1 = comps[0], comps[-1] + 1
+            kind_f, g_f, sp_f, sm_f = mgrids[f]
+            if ci > 0 and not use_t:
+                # sequence the chunks (see sweep_phi): the coefficient
+                # engine's per-chunk (nb, ncomp, ncut, L) ring-coefficient
+                # planes otherwise ALL get hoisted live by XLA (measured
+                # 26 GB at 128 chains on the HEALPix 153-row belt); the
+                # table engine's per-chunk tensors are small and stay
+                # unsequenced for scheduling freedom
+                dlcat, ll, Rc, Rs, g_f = jax.lax.optimization_barrier(
+                    (dlcat, ll, Rc, Rs, g_f))
+            mg_seq = dict(mgrids)
+            mg_seq[f] = (kind_f, g_f, sp_f, sm_f)
             if use_t:
                 # --- table-domain reductions (_prepare_tchunks): no
                 # per-bin (ring, m) planes; q/G/rho from ell-pair weight
                 # tables and thin gathered state slices -------------------
                 kind, lamA, lamB, W, omega = tpre[ci]
-                _kg, gmat, sp, sm = mgrids[f]
+                _kg, gmat, sp, sm = mg_seq[f]
                 gsel = jnp.take(gmat, jnp.asarray(j_idx), axis=-1)
                 segj = None if seg is None else jnp.asarray(seg, dt)
                 if kind == "s0":
@@ -731,7 +756,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                                      preferred_element_type=dt)
                 q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
             else:
-                Cc, Cs, comps = _chunk_ring_coefs(model, mgrids, f, j_idx,
+                Cc, Cs, comps = _chunk_ring_coefs(model, mg_seq, f, j_idx,
                                                   seg)
                 wf = w_ring[c0:c1]                   # (ncomp, ncut)
                 # ONE weighted copy per coefficient array: scale by

@@ -195,6 +195,18 @@ class GibbsScheme:
         shapes = {"state": (m.nfields, m.nstate),
                   "aux": aux_shape,
                   "pix": tuple(m.noise.tau.shape)}
+        # HBM guard: the pool is nchains * K * field-size; many-sweep CR
+        # configurations (e.g. overrelax n_gibbs=20 -> K=40 state fields)
+        # at 128 chains would pre-draw tens of GB.  Past the cap, fall
+        # back to per-key draws inside the sampler (slower dispatch, no
+        # blow-up).
+        import os as _os
+        cap = float(_os.environ.get("GS_NOISE_POOL_MAX_GB", "4")) * 2 ** 30
+        total = sum(int(spec.get(kind, 0)) * int(np.prod(shapes[kind]))
+                    for kind in ("state", "aux", "pix")) \
+            * nchains * jnp.dtype(dt).itemsize
+        if total > cap:
+            return {}
         pool = {}
         keys = jax.random.split(key, 3)
         for i, kind in enumerate(("state", "aux", "pix")):

@@ -55,7 +55,8 @@ def main():
     import bench
     import jax
     import jax.numpy as jnp
-    from gibbssampler_tpu.parallel.adapt import pooled_proposal_sigmas
+    from gibbssampler_tpu.parallel.adapt import (block_widths,
+                                                 pooled_proposal_sigmas)
 
     assert bench.SCHEME == "asis", "tuning targets the flagship ASIS config"
     scheme, (dl_ee, dl_bb, bins_pair) = bench.build()
@@ -79,7 +80,8 @@ def main():
         new_sig, seg_acc = [], []
         for f, chain in enumerate(out["dl_chains"]):
             c = np.asarray(chain)[:, nburn:]
-            base = pooled_proposal_sigmas(c)
+            bw = block_widths(blocks_list[f], c.shape[-1])
+            base = pooled_proposal_sigmas(c, block_width=bw)
             factor = np.ones_like(base)
             acc_b = np.asarray(out["mh_accept"][f]).reshape(
                 -1, len(blocks_list[f])).mean(axis=0)
