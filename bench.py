@@ -49,8 +49,9 @@ RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "0")))
 # "centered" (aux+MALA CR; the fastest-mixing scheme at this noise level,
 # kept reachable via BENCH_SCHEME=centered)
 SCHEME = os.environ.get("BENCH_SCHEME", "asis")
-N_ITER = int(os.environ.get("BENCH_ITERS",
-                            "60" if SCHEME == "asis" else "150"))
+# 300 iterations: ESS estimators on shorter chains truncate the
+# autocorrelation sum and overestimate ~2x (measured, docs/PERF.md r4)
+N_ITER = int(os.environ.get("BENCH_ITERS", "300"))
 N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 # mask shape: "band" (hard ~80% f_sky galactic cut, the default) or
 # "planckish" (GL only): apodized band + random point-source holes at all
@@ -248,7 +249,7 @@ def build():
         # correlation with ~1% fresh noise per conditional, so D_ell
         # (quadratic in s) decorrelates very slowly; aux_mala mixes ~3x
         # better per iteration at the same step cost.
-        cr = os.environ.get("BENCH_CR", "overrelax")
+        cr = os.environ.get("BENCH_CR", "aux_mala")
         if cr == "overrelax":
             cr_opts = {"alpha": -0.995,
                        # overrelaxed sweeps per CR step; the reference
@@ -256,7 +257,7 @@ def build():
                        "n_gibbs": int(os.environ.get("BENCH_NGIBBS", "1"))}
         else:
             cr_opts = {"n_gibbs": int(os.environ.get("BENCH_NGIBBS", "1")),
-                       "tau": 0.02}
+                       "tau": float(os.environ.get("BENCH_TAU", "0.02"))}
         scheme = ASISGibbs(model, [bins_ee, bins_bb],
                            [blocks_ee, blocks_bb], sig,
                            n_iter_mh=int(os.environ.get("BENCH_NITER_MH",
@@ -346,6 +347,13 @@ def main():
     for f in range(2):
         s = summarize_chains(np.asarray(out["dl_chains"][f]), burn_frac=0.2)
         ess.append(s["ess"])
+    if os.environ.get("BENCH_SAVE_ESS"):
+        # per-bin pooled ESS arrays for scheme comparisons (PERF.md)
+        np.savez(os.environ["BENCH_SAVE_ESS"],
+                 ess_0=ess[0], ess_1=ess[1],
+                 bins_0=np.asarray(bins_pair[0]),
+                 bins_1=np.asarray(bins_pair[1]),
+                 wall=wall, n_iter=N_ITER, nchains=NCHAINS, scheme=SCHEME)
     ess = np.concatenate(ess)
     ess_med = float(np.median(ess))
     value = ess_med / wall

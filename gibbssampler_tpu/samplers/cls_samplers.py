@@ -337,21 +337,32 @@ def _chunk_comps(model, f):
     return (0, 1) if model.spin == 2 else (1, 2)
 
 
-def _prepare_tchunks(model, cut, mchunks, w1, dt):
+def _prepare_tchunks(model, cut, mchunks, w1, dt, nyq: bool = False):
     """Per-chunk ell-pair weight tables of the TABLE-DOMAIN reductions
-    (the fastest blocked-MH singles engine; requires phase-free rings and
-    one shared mask across map components).
+    (the fastest blocked-MH singles engine; requires one shared mask
+    across map components and azimuthally uniform cut weights).
 
     The w-weighted dot product of two per-bin components factorizes
     through the ring Parseval identity into ell-pair tables contracted
-    against per-(m, ell) state products: on a phase-free grid every
-    Fp x Fm cross term cancels in Q.Q' + U.U', leaving
+    against per-(m, ell) state products: every Fp x Fm cross term cancels
+    in Q.Q' + U.U' structurally (A = Fp + Fm, B = Fp - Fm combinations),
+    leaving
 
         <a_i, a_j>_w = nphi sum_m C_ij(m) [Wpp + pos_m Wmm](m, li, lj)
         W__(m, l, l') = sum_r w_r lam_(m,l,r) lam_(m,l',r)
 
     with C_ij(m) = sum_c g[c,m,li] g[c,m,lj] — so no per-bin (ring, m)
-    planes are ever materialized (the coefficient-domain engine's cost)."""
+    planes are ever materialized (the coefficient-domain engine's cost).
+    Ring phases rotate the (re, im) coefficient pairs jointly and the
+    like-component pairing is rotation-invariant, so the tables hold on
+    PHASED grids too (HEALPix belt rows); only the raw-ring-sum pairings
+    (rho, residual updates, handled in the sweep) need rotation factors.
+
+    ``nyq``: the grid sits exactly at nphi = 2 lmax, where the m = lmax
+    column carries (pw_cos, pw_sin) = (nphi, 0) and the uniform-weight
+    pairing above is wrong.  The column is ZEROED out of the tables here
+    and its exact contribution is added by a dedicated per-chunk path in
+    the sweep; each tuple then carries the raw Nyquist lambda column(s)."""
     n = float(cut.nphi)
     L = model.lmax + 1
     pos = np.ones(L)
@@ -360,16 +371,26 @@ def _prepare_tchunks(model, cut, mchunks, w1, dt):
     for (f, j_idx, seg, gbins, rows) in mchunks:
         if model.spin == 0 or (model.spin == 3 and f == 0):
             lam0_j = cut.lsel_table(cut.lam0, j_idx)      # (L, J, r)
+            lnyq = None
+            if nyq:
+                lnyq = lam0_j[L - 1]                       # (J, r)
+                lam0_j = lam0_j.at[L - 1].set(0.0)
             lw = lam0_j * w1.astype(lam0_j.dtype)
             W00 = jnp.einsum("mjr,mkr->mjk", lw, lam0_j,
                              preferred_element_type=dt).astype(dt)
             omega = np.full((2, L), 2.0 * n)
             omega[0, 0] = n
             omega[1, 0] = 0.0
-            out.append(("s0", lam0_j, None, W00, jnp.asarray(omega, dt)))
+            out.append(("s0", lam0_j, None, W00, jnp.asarray(omega, dt),
+                        lnyq))
         else:
             lamp_j = cut.lsel_table(cut.lam_p2, j_idx)
             lamm_j = cut.lsel_table(cut.lam_m2, j_idx)
+            lnyq = None
+            if nyq:
+                lnyq = (lamp_j[L - 1], lamm_j[L - 1])
+                lamp_j = lamp_j.at[L - 1].set(0.0)
+                lamm_j = lamm_j.at[L - 1].set(0.0)
             lpw = lamp_j * w1.astype(lamp_j.dtype)
             lmw = lamm_j * w1.astype(lamm_j.dtype)
             Wpp = jnp.einsum("mjr,mkr->mjk", lpw, lamp_j,
@@ -377,7 +398,7 @@ def _prepare_tchunks(model, cut, mchunks, w1, dt):
             Wmm = jnp.einsum("mjr,mkr->mjk", lmw, lamm_j,
                              preferred_element_type=dt).astype(dt)
             Wsum = n * (Wpp + jnp.asarray(pos, dt)[:, None, None] * Wmm)
-            out.append(("s2", lamp_j, lamm_j, Wsum, None))
+            out.append(("s2", lamp_j, lamm_j, Wsum, None, lnyq))
     return out
 
 
@@ -553,22 +574,26 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         mgrids = _prepare_mgrids(model, t, mchunks)
         pwc, pws = cut.ring_dot_weights()
         w_ring = w_cut[..., 0]                      # (nfmaps, ncut) uniform
-        # table-domain engine: needs phase-free rings (the A/B cross terms
-        # cancel only without the per-ring phase rotation), one shared
-        # mask across map components, and nphi strictly above the Nyquist
-        # nphi = 2 lmax — at exactly 2 lmax the m = lmax column carries
-        # (pw_cos, pw_sin) = (nphi, 0) (transform.ring_dot_weights), which
-        # the omega/Wsum tables do not special-case; the coefficient engine
-        # is Nyquist-exact through pwc/pws, so fall back to it there.
-        # "m" pins the coefficient engine
+        # table-domain engine: needs one shared mask across map
+        # components (cut_w_equal_fields).  Ring phases are handled by
+        # rotation factors on the raw-ring-sum pairings, and the Nyquist
+        # nphi = 2 lmax column (HEALPix belt rows) by a dedicated exact
+        # per-chunk path (_prepare_tchunks nyq=True).  "m" pins the
+        # coefficient engine.
         use_t = (mdomain != "m"
-                 and not getattr(cut, "has_phase", True)
                  and getattr(model, "cut_w_equal_fields", False)
-                 and getattr(cut, "nphi", 0) > 2 * model.lmax)
+                 and getattr(cut, "nphi", 0) >= 2 * model.lmax)
         if use_t:
             w1 = w_ring[0]
             pos_t = jnp.ones((L,), dt).at[0].set(0.0)
-            tpre = _prepare_tchunks(model, cut, mchunks, w1, dt)
+            nyq_t = getattr(cut, "nphi", 0) == 2 * model.lmax
+            if getattr(cut, "has_phase", False):
+                ph_c = cut.phase_cos.astype(dt)        # (ncut, L)
+                ph_s = cut.phase_sin.astype(dt)
+            else:
+                ph_c = ph_s = None
+            nphi_f = jnp.asarray(float(cut.nphi), dt)
+            tpre = _prepare_tchunks(model, cut, mchunks, w1, dt, nyq=nyq_t)
     else:
         use_t = False
 
@@ -693,11 +718,19 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
             if use_t:
                 # --- table-domain reductions (_prepare_tchunks): no
                 # per-bin (ring, m) planes; q/G/rho from ell-pair weight
-                # tables and thin gathered state slices -------------------
-                kind, lamA, lamB, W, omega = tpre[ci]
+                # tables and thin gathered state slices.  Ring phases:
+                # the raw ring sums (Rc, Rs) rotate into the unrotated-F
+                # pairing basis; the Nyquist column (lnyq) contributes
+                # through its own exact r-resolved path. -------------------
+                kind, lamA, lamB, W, omega, lnyq = tpre[ci]
                 _kg, gmat, sp, sm = mg_seq[f]
                 gsel = jnp.take(gmat, jnp.asarray(j_idx), axis=-1)
                 segj = None if seg is None else jnp.asarray(seg, dt)
+                if lnyq is not None:
+                    g_nre = gsel[..., 0, L - 1, :]       # (..., J)
+                    g_nim = gsel[..., 1, L - 1, :]
+                    if ph_c is not None:
+                        pcn, psn = ph_c[:, L - 1], ph_s[:, L - 1]   # (r,)
                 if kind == "s0":
                     gw = gsel * omega[:, :, None]
                     CM = jnp.einsum("...cml,...cmk->...mlk", gw, gsel,
@@ -705,8 +738,15 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                     Gl = jnp.einsum("...mlk,mlk->...lk", CM, W,
                                     preferred_element_type=dt)
                     cmv = jnp.ones((L,), dt).at[1:].set(2.0)
-                    WRc = Rc[..., c0, :, :] * w1[:, None]
-                    WRs = Rs[..., c0, :, :] * w1[:, None]
+                    RcF = Rc[..., c0, :, :]
+                    RsF = Rs[..., c0, :, :]
+                    if ph_c is not None:
+                        Rct = ph_c * RcF - ph_s * RsF
+                        Rst = ph_s * RcF + ph_c * RsF
+                    else:
+                        Rct, Rst = RcF, RsF
+                    WRc = Rct * w1[:, None]
+                    WRs = Rst * w1[:, None]
                     U0re = jnp.einsum("mjr,...rm->...mj", lamA, WRc,
                                       preferred_element_type=dt)
                     U0im = -jnp.einsum("mjr,...rm->...mj", lamA, WRs,
@@ -717,6 +757,23 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                              + jnp.einsum("...mj,...mj,m->...j",
                                           gsel[..., 1, :, :], U0im, cmv,
                                           preferred_element_type=dt))
+                    if lnyq is not None:
+                        # exact Nyquist-column (m = lmax) contribution:
+                        # local cos coefficient Cc = 2 (Fre c - Fim s),
+                        # pairing weight pw_cos = nphi, sin column zero
+                        Fre_n = g_nre[..., None] * lnyq          # (..., J, r)
+                        Fim_n = g_nim[..., None] * lnyq
+                        if ph_c is not None:
+                            Ccn = 2.0 * (Fre_n * pcn - Fim_n * psn)
+                        else:
+                            Ccn = 2.0 * Fre_n
+                        Gl = Gl + nphi_f * jnp.einsum(
+                            "...jr,r,...kr->...jk", Ccn, w1, Ccn,
+                            preferred_element_type=dt)
+                        rho_l = rho_l + jnp.einsum(
+                            "...jr,...r->...j", Ccn,
+                            w1 * RcF[..., :, L - 1],
+                            preferred_element_type=dt)
                 else:
                     CM = jnp.einsum("...cml,...cmk->...mlk", gsel, gsel,
                                     preferred_element_type=dt)
@@ -724,8 +781,37 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                                     preferred_element_type=dt)
                     cq, cu = comps
                     wb = w1[:, None]
-                    RcQ, RsQ = Rc[..., cq, :, :], Rs[..., cq, :, :]
-                    RcU, RsU = Rc[..., cu, :, :], Rs[..., cu, :, :]
+                    RcQ_, RsQ_ = Rc[..., cq, :, :], Rs[..., cq, :, :]
+                    RcU_, RsU_ = Rc[..., cu, :, :], Rs[..., cu, :, :]
+                    if ph_c is not None:
+                        RcQ = ph_c * RcQ_ - ph_s * RsQ_
+                        RsQ = ph_s * RcQ_ + ph_c * RsQ_
+                        RcU = ph_c * RcU_ - ph_s * RsU_
+                        RsU = ph_s * RcU_ + ph_c * RsU_
+                    else:
+                        RcQ, RsQ, RcU, RsU = RcQ_, RsQ_, RcU_, RsU_
+                    if lnyq is not None:
+                        # Nyquist column: build the chunk's local Q/U cos
+                        # coefficients at m = lmax (pos_lmax = 1)
+                        lpn, lmn = lnyq
+                        Fpre_n = g_nre[..., None] * lpn
+                        Fpim_n = g_nim[..., None] * lpn
+                        Fmre_n = g_nre[..., None] * lmn
+                        Fmim_n = g_nim[..., None] * lmn
+                        Are_n = sp * Fpre_n + sm * Fmre_n
+                        Aim_n = sp * Fpim_n + sm * Fmim_n
+                        Bre_n = sp * Fpre_n - sm * Fmre_n
+                        Bim_n = sp * Fpim_n - sm * Fmim_n
+                        if ph_c is not None:
+                            Qcn = Are_n * pcn - Aim_n * psn
+                            Ucn = Bre_n * psn + Bim_n * pcn
+                        else:
+                            Qcn, Ucn = Are_n, Bim_n
+                        Gl = Gl + nphi_f * (
+                            jnp.einsum("...jr,r,...kr->...jk", Qcn, w1,
+                                       Qcn, preferred_element_type=dt)
+                            + jnp.einsum("...jr,r,...kr->...jk", Ucn, w1,
+                                         Ucn, preferred_element_type=dt))
                     Spre = wb * (RcQ + RsU)
                     Spim = wb * (RcU - RsQ)
                     Smre = wb * (RcQ - RsU)
@@ -747,6 +833,14 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                              + jnp.einsum("...mj,...mj->...j",
                                           gsel[..., 1, :, :], Xim,
                                           preferred_element_type=dt))
+                    if lnyq is not None:
+                        rho_l = rho_l + (
+                            jnp.einsum("...jr,...r->...j", Qcn,
+                                       w1 * RcQ_[..., :, L - 1],
+                                       preferred_element_type=dt)
+                            + jnp.einsum("...jr,...r->...j", Ucn,
+                                         w1 * RcU_[..., :, L - 1],
+                                         preferred_element_type=dt))
                 if segj is None:
                     G, rho = Gl, rho_l
                 else:
@@ -820,10 +914,16 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 if kind == "s0":
                     Fc = jnp.einsum("mjr,...cmj->...crm", lamA, gg,
                                     preferred_element_type=dt)
-                    Rc = Rc.at[..., c0, :, :].add(
-                        -(pwc * cmv) * Fc[..., 0, :, :])
-                    Rs = Rs.at[..., c0, :, :].add(
-                        (pws * cmv) * Fc[..., 1, :, :])
+                    Fre_u, Fim_u = Fc[..., 0, :, :], Fc[..., 1, :, :]
+                    if ph_c is not None:
+                        Fre_u, Fim_u = (Fre_u * ph_c - Fim_u * ph_s,
+                                        Fre_u * ph_s + Fim_u * ph_c)
+                    Rc = Rc.at[..., c0, :, :].add(-(pwc * cmv) * Fre_u)
+                    Rs = Rs.at[..., c0, :, :].add((pws * cmv) * Fim_u)
+                    if lnyq is not None:
+                        Fn = jnp.einsum("...j,...jr->...r", gl, Ccn,
+                                        preferred_element_type=dt)
+                        Rc = Rc.at[..., c0, :, L - 1].add(-nphi_f * Fn)
                 else:
                     Fp = jnp.einsum("mjr,...cmj->...crm", lamA, gg,
                                     preferred_element_type=dt) * sp
@@ -833,11 +933,23 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                     Aim = Fp[..., 1, :, :] + pos_t * Fm[..., 1, :, :]
                     Bre = Fp[..., 0, :, :] - pos_t * Fm[..., 0, :, :]
                     Bim = Fp[..., 1, :, :] - pos_t * Fm[..., 1, :, :]
+                    if ph_c is not None:
+                        Are, Aim = (Are * ph_c - Aim * ph_s,
+                                    Are * ph_s + Aim * ph_c)
+                        Bre, Bim = (Bre * ph_c - Bim * ph_s,
+                                    Bre * ph_s + Bim * ph_c)
                     # (Qc, Qs, Uc, Us) = (Are, -Aim, Bim, Bre)
                     Rc = Rc.at[..., cq, :, :].add(-pwc * Are)
                     Rs = Rs.at[..., cq, :, :].add(pws * Aim)
                     Rc = Rc.at[..., cu, :, :].add(-pwc * Bim)
                     Rs = Rs.at[..., cu, :, :].add(-pws * Bre)
+                    if lnyq is not None:
+                        FnQ = jnp.einsum("...j,...jr->...r", gl, Qcn,
+                                         preferred_element_type=dt)
+                        FnU = jnp.einsum("...j,...jr->...r", gl, Ucn,
+                                         preferred_element_type=dt)
+                        Rc = Rc.at[..., cq, :, L - 1].add(-nphi_f * FnQ)
+                        Rc = Rc.at[..., cu, :, L - 1].add(-nphi_f * FnU)
             else:
                 # Rc(a) = pwc Cc_raw = sqrt(pwc/w) (Cc sc_c-scaled); w = 0
                 # rings never feed any downstream w-weighted product, so

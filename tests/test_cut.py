@@ -698,16 +698,19 @@ def test_mdomain_sweep_matches_phi_sweep(spin):
 
 @pytest.mark.parametrize("spin", [0, 2])
 def test_mdomain_sweep_matches_phi_sweep_healpix(spin):
-    """The m-domain coefficient engine on a PHASED grid: HEALPix belt rows
-    carry per-ring phi0 offsets (has_phase=True), so the engine's rotated
-    (Cc, Cs) handling must still reproduce the phi-domain rank-one path
-    bit-near over whole chains (fp64) — the production HEALPix path this
-    engine exists for."""
+    """ALL m-domain singles engines on a PHASED NYQUIST grid: HEALPix belt
+    rows carry per-ring phi0 offsets (has_phase=True) and sit exactly at
+    nphi = 2 lmax, so both the coefficient engine's rotated (Cc, Cs)
+    handling and the table engine's rotation + Nyquist-column path must
+    reproduce the phi-domain rank-one path bit-near over whole chains
+    (fp64) — the production HEALPix paths these engines exist for."""
     from gibbssampler_tpu.samplers import cls_samplers as cs
     model, mc, fields = make_masked_healpix(spin=spin, sigma2=0.5)
     lmax = model.lmax
     assert cs._mdomain_eligible(mc)
     assert getattr(mc.cut_sht, "has_phase", False)
+    assert mc.cut_sht.nphi == 2 * lmax          # Nyquist grid
+    assert mc.cut_w_equal_fields                # table engine eligible
     nf = mc.nfields
     bins = [np.arange(2, lmax + 2)] * nf
     nb = lmax - 1
@@ -719,13 +722,19 @@ def test_mdomain_sweep_matches_phi_sweep_healpix(spin):
     key = jax.random.PRNGKey(60)
     dl_a, info_a = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
                                         sig, n_iter=3, mdomain=False)
-    dl_b, info_b = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks,
-                                        sig, n_iter=3, mdomain=True)
-    for f in range(nf):
-        np.testing.assert_allclose(np.asarray(dl_b[f]), np.asarray(dl_a[f]),
-                                   rtol=1e-9, atol=1e-12)
-        np.testing.assert_allclose(np.asarray(info_b.accept[f]),
-                                   np.asarray(info_a.accept[f]), atol=1e-12)
+    # mdomain=True -> table engine (phase + Nyquist paths);
+    # mdomain="m"  -> coefficient engine (rotated half-spectra)
+    for md in (True, "m"):
+        dl_b, info_b = cs.nc_cls_sample_cut(key, dl0, s_nc, mc, bins,
+                                            blocks, sig, n_iter=3,
+                                            mdomain=md)
+        for f in range(nf):
+            np.testing.assert_allclose(np.asarray(dl_b[f]),
+                                       np.asarray(dl_a[f]),
+                                       rtol=1e-9, atol=1e-12, err_msg=f"{md}")
+            np.testing.assert_allclose(np.asarray(info_b.accept[f]),
+                                       np.asarray(info_a.accept[f]),
+                                       atol=1e-12, err_msg=f"{md}")
 
 
 def test_mdomain_singles_spanning_fields_spin3():
