@@ -52,7 +52,6 @@ SCHEME = os.environ.get("BENCH_SCHEME", "asis")
 # 300 iterations: ESS estimators on shorter chains truncate the
 # autocorrelation sum and overestimate ~2x (measured, docs/PERF.md r4)
 N_ITER = int(os.environ.get("BENCH_ITERS", "300"))
-N_WARM = int(os.environ.get("BENCH_WARMUP", "0")) or None
 # mask shape: "band" (hard ~80% f_sky galactic cut, the default) or
 # "planckish" (GL only): apodized band + random point-source holes at all
 # latitudes — azimuthally NON-uniform, so the blocked-MH singles run
@@ -317,30 +316,51 @@ def baseline_main():
 
 def main():
     import jax
+    import jax.numpy as jnp
     if BASELINE_MODE:
         return baseline_main()
     scheme, (dl_ee, dl_bb, bins_pair) = build()
     dl0 = tuple(_binned_mean_np(d, b) for d, b in zip((dl_ee, dl_bb),
                                                       bins_pair))
 
-    n_warm = N_WARM or N_ITER   # same scan length => timed run is fully cached
-    log(f"warmup {n_warm} iters (compile)...")
+    # the run is segmented at the host level: one device program of more
+    # than ~60 s faults the TPU ("UNAVAILABLE: TPU device error" watchdog,
+    # measured — a 300-iter scan at >200 ms/iter dies, the same graph at
+    # 60 iters runs), and segments also keep the compile to ONE scan length
+    from gibbssampler_tpu.schemes.gibbs import _init_scheme, _scan_scheme
+    seg = min(int(os.environ.get("BENCH_SEG", "100")), N_ITER)
+    nseg = (N_ITER + seg - 1) // seg
+    total = seg * nseg
+    key = jax.random.PRNGKey(2)
+    kinit, key = jax.random.split(key)
+    dl0j = tuple(jnp.asarray(d, dtype=scheme.model.sht.dtype) for d in dl0)
+    states = _init_scheme(scheme, jax.random.split(kinit, NCHAINS), dl0j)
+    jax.block_until_ready(states.s)
+    log(f"warmup {seg} iters (compile)...")
     t0 = time.time()
-    out = scheme.run(jax.random.PRNGKey(1), dl0, n_iter=n_warm,
-                     nchains=NCHAINS)
-    jax.block_until_ready(out["dl_chains"])
+    kw, key = jax.random.split(key)
+    warm, _ = _scan_scheme(scheme, states, jax.random.split(kw, seg),
+                           NCHAINS)
+    jax.block_until_ready(warm.s)
     log(f"warmup done in {time.time() - t0:.1f}s")
-    del out         # free warmup chain state/histories before the timed
-    import gc       # run: the big graphs run within ~1 GB of HBM capacity
-    gc.collect()
+    del warm
+    import gc       # free warmup state before the timed run: the big
+    gc.collect()    # graphs run within ~1 GB of HBM capacity
 
+    segs = []
     t0 = time.time()
-    out = scheme.run(jax.random.PRNGKey(2), dl0, n_iter=N_ITER,
-                     nchains=NCHAINS)
-    jax.block_until_ready(out["dl_chains"])
+    for i in range(nseg):
+        key, ks = jax.random.split(key)
+        states, infos = _scan_scheme(scheme, states,
+                                     jax.random.split(ks, seg), NCHAINS)
+        jax.block_until_ready(infos["dl"])
+        segs.append(infos["dl"])
     wall = time.time() - t0
-    log(f"{N_ITER} iters x {NCHAINS} chains in {wall:.1f}s "
-        f"({wall / N_ITER * 1e3:.1f} ms/iter)")
+    out = {"dl_chains": tuple(
+        jnp.moveaxis(jnp.concatenate([s[f] for s in segs], axis=0), 0, 1)
+        for f in range(2))}
+    log(f"{total} iters x {NCHAINS} chains in {wall:.1f}s "
+        f"({wall / total * 1e3:.1f} ms/iter)")
 
     from gibbssampler_tpu.diagnostics import summarize_chains
     ess = []
@@ -353,7 +373,7 @@ def main():
                  ess_0=ess[0], ess_1=ess[1],
                  bins_0=np.asarray(bins_pair[0]),
                  bins_1=np.asarray(bins_pair[1]),
-                 wall=wall, n_iter=N_ITER, nchains=NCHAINS, scheme=SCHEME)
+                 wall=wall, n_iter=total, nchains=NCHAINS, scheme=SCHEME)
     ess = np.concatenate(ess)
     ess_med = float(np.median(ess))
     value = ess_med / wall
@@ -361,14 +381,14 @@ def main():
     # reference's SLURM-array unit) running the same sampler: its ESS/iter
     # equals our per-chain ESS/iter; one iteration costs ~REF_SEC_PER_ITER
     # of healpy SHTs on CPU.  vs_baseline = one TPU chip vs one CPU process.
-    per_chain_ess_per_iter = ess_med / (0.8 * N_ITER * NCHAINS)
+    per_chain_ess_per_iter = ess_med / (0.8 * total * NCHAINS)
     baseline = per_chain_ess_per_iter / REF_SEC_PER_ITER
     log(f"median pooled ESS {ess_med:.1f} over {wall:.1f}s; per-chain "
         f"ESS/iter {per_chain_ess_per_iter:.4f}; "
         f"single-process CPU baseline est {baseline:.5f} ESS/s")
     print(json.dumps({
         "metric": f"Cl-chain median pooled ESS/s, polarized masked Gibbs "
-                  f"({f'flagship ASIS: {os.environ.get("BENCH_CR", "overrelax")} CR + Planck-blocked NC MH'
+                  f"({f'flagship ASIS: {os.environ.get("BENCH_CR", "aux_mala")} CR + Planck-blocked NC MH'
                      if SCHEME == 'asis' else 'centered aux+MALA CR'}), "
                   f"lmax={LMAX}, grid={GRID}, {NCHAINS} "
                   f"chains on one chip; vs_baseline = vs one single-chain "

@@ -87,17 +87,22 @@ def proposal_sigmas_from_results(npz_path, nfields: int | None = None,
 def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
                    n_segments: int = 3, seg_iters: int = 200,
                    nchains: int = 8, target_accept=(0.2, 0.5)):
-    """Warmup loop: run a segment, pool variances + acceptance across chains,
-    rescale the proposal sigmas, rebuild the scheme (static re-jit per
-    segment), and return the tuned sigmas plus the warm state.
+    """Warmup loop: run a segment, pool per-block acceptance across chains,
+    rescale the proposal sigmas multiplicatively toward the target window,
+    rebuild the scheme, and return the tuned sigmas plus the warm state.
 
     make_scheme(prop_sigma_list) -> scheme with an MH C_ell step.
 
-    The rescale toward the target acceptance window is applied *per block*
-    from the per-block acceptance histories — the reference's workflow
-    hand-tunes per-block fudge factors exactly this way
-    (config.py:192-225) — falling back to one global factor when the
-    scheme exposes no block structure."""
+    The rescale is applied *per block* from the per-block acceptance
+    histories — the reference's workflow hand-tunes per-block fudge
+    factors exactly this way (config.py:192-225) — falling back to one
+    global factor when the scheme exposes no block structure.  The update
+    is PURELY multiplicative from the seed sigmas: re-estimating a base
+    from pooled chain sd is wrong for high-SNR joint blocks, where the NC
+    conditional p(dl | s_nc, d) is far tighter than the marginal posterior
+    the chain sd measures (measured at lmax=512: sd-based EE proposals
+    collapse acceptance to 0.00 where the analytic seed sits at 0.32;
+    docs/PERF.md round 4)."""
     import jax
 
     def _factor(acc):
@@ -118,10 +123,7 @@ def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
                          nchains=nchains)
         new_sig = []
         for f, chain in enumerate(out["dl_chains"]):
-            bw = (block_widths(blocks_list[f], chain.shape[-1])
-                  if blocks_list is not None else None)
-            base = pooled_proposal_sigmas(np.asarray(chain), block_width=bw)
-            factor = np.ones_like(base)
+            factor = np.ones(len(sig[f]))
             if "mh_accept" in out and blocks_list is not None:
                 # (nchains, n_iter, nblocks_f) -> per-block acceptance
                 acc_b = np.asarray(out["mh_accept"][f]).reshape(
@@ -131,7 +133,7 @@ def adapt_segments(make_scheme, key, dl_init_tuple, sigma0_list,
             elif "mh_accept" in out:
                 factor[:] = _factor(float(np.asarray(
                     out["mh_accept"][f]).mean()))
-            new_sig.append(np.maximum(base * factor, 1e-12))
+            new_sig.append(np.maximum(sig[f] * factor, 1e-12))
         sig = new_sig
         dl_init_tuple = tuple(
             np.asarray(c)[:, -1, :].mean(axis=0)

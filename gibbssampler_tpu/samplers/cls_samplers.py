@@ -268,7 +268,10 @@ _MDOMAIN_UNROLL = int(_os.environ.get("GS_MDOMAIN_UNROLL", "1"))
 # phi-domain singles chunk: bounds the live per-bin map-stack memory of the
 # general-mask (azimuthally non-uniform w) fallback engine — the full
 # (nsingles, nmaps, ncut, nphi) stack OOMs 128 chains at production scale;
-# chunks of ~16 bins keep peak memory O(chunk * ncut * nphi) per chain
+# chunks of ~16 bins keep peak memory O(chunk * ncut * nphi) per chain.
+# ALSO keep nchains * chunk * nmaps * ncut * nphi * 4 B under ~2 GB: a
+# single buffer past that faults the TPU at runtime (measured: 2.85 GB
+# chunk stacks -> device error at 64/128 chains; <= 1.4 GB runs)
 _PHI_CHUNK = int(_os.environ.get("GS_PHI_CHUNK", "16"))
 
 
