@@ -97,11 +97,16 @@ if os.path.exists(_bm_path):
     try:
         with open(_bm_path) as _f:
             _bm = json.load(_f)
-        if (_bm.get("lmax") == LMAX
-                and _bm.get("grid") == os.environ.get("BENCH_GRID", "gl")
-                and _bm.get("scheme", "centered") == SCHEME):
-            REF_SEC_PER_ITER = min(REF_SEC_PER_ITER,
-                                   float(_bm["cpu_sec_per_iter"]))
+        # one record per (scheme, grid, lmax); a bare dict is the legacy
+        # single-record format
+        for _rec in (_bm.get("records", [_bm]) if isinstance(_bm, dict)
+                     else _bm):
+            if (_rec.get("lmax") == LMAX
+                    and _rec.get("grid") == os.environ.get("BENCH_GRID",
+                                                           "gl")
+                    and _rec.get("scheme", "centered") == SCHEME):
+                REF_SEC_PER_ITER = min(REF_SEC_PER_ITER,
+                                       float(_rec["cpu_sec_per_iter"]))
     except (ValueError, KeyError):
         pass
 
@@ -306,11 +311,23 @@ def baseline_main():
            "grid": GRID, "scheme": SCHEME, "nchains": 1, "n_iter": n,
            "machine": platform.processor() or platform.machine(),
            "ncpu": os.cpu_count(),
-           "note": "same sampler (centered aux+MALA, masked pol) as the "
+           "note": f"same sampler ({SCHEME} scheme, masked pol) as the "
                    "headline bench, one chain on this machine's CPU via "
                    "XLA; stands in for one reference SLURM-array process"}
+    recs = []
+    if os.path.exists(_bm_path):
+        try:
+            with open(_bm_path) as f:
+                old = json.load(f)
+            recs = old.get("records", [old]) if isinstance(old, dict) \
+                else old
+        except ValueError:
+            pass
+    key_of = lambda r: (r.get("scheme", "centered"), r.get("grid"),
+                        r.get("lmax"))
+    recs = [r for r in recs if key_of(r) != key_of(rec)] + [rec]
     with open(_bm_path, "w") as f:
-        json.dump(rec, f, indent=1)
+        json.dump({"records": recs}, f, indent=1)
     print(json.dumps(rec))
 
 
