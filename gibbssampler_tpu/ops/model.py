@@ -64,6 +64,16 @@ class SkyModel:
     # static: w_cut identical across the map components (T/Q/U share one
     # mask — the production case); enables the table-domain reductions
     cut_w_equal_fields: bool = False
+    # --- optional sparse-hole extension of the cut (floor + sparse split):
+    # azimuthally non-uniform masks (apodized band + point-source holes,
+    # the reference's actual production mask, config.py:22-28) split into
+    # an azimuthally-uniform per-ring FLOOR (held in cut_sht/w_cut above,
+    # so the m/table-domain fast paths stay eligible) plus a SPARSE
+    # correction supported only on the hole pixels, applied through a
+    # point-set transform (sht.points.PointSHT).
+    sp_sht: Optional[object] = None       # PointSHT over the hole pixels
+    d_sp: Optional[jnp.ndarray] = None    # d at holes (nfields, nr_sp, p)
+    w_sp: Optional[jnp.ndarray] = None    # sparse weights >= 0 (0 on padding)
 
     @property
     def lmax(self) -> int:
@@ -185,6 +195,10 @@ class SkyModel:
                                                  f[..., 1, :, :])
         return jnp.stack([e, b], axis=-2)
 
+    @property
+    def has_sparse(self) -> bool:
+        return self.sp_sht is not None
+
     def synthesis_cut(self, s: jnp.ndarray) -> jnp.ndarray:
         """A s restricted to the cut rings (..., nfields, ncut, nphi)."""
         return self._synthesis_with(self.cut_sht, s)
@@ -193,17 +207,36 @@ class SkyModel:
         """A_cut^T f (exact transpose of synthesis_cut)."""
         return self._adjoint_with(self.cut_sht, f_cut)
 
+    def synthesis_sp(self, s: jnp.ndarray) -> jnp.ndarray:
+        """A s evaluated at the sparse hole points
+        (..., nfields, nr_sp, p)."""
+        return self._synthesis_with(self.sp_sht, s)
+
+    def adjoint_synthesis_sp(self, f_sp: jnp.ndarray) -> jnp.ndarray:
+        """A_sp^T f (exact transpose of synthesis_sp)."""
+        return self._adjoint_with(self.sp_sht, f_sp)
+
+    def _w_corr(self, sb: jnp.ndarray) -> jnp.ndarray:
+        """A_cut^T (w_cut A_cut u) [+ A_sp^T (w_sp A_sp u)] — the masked
+        correction operator of the complement decomposition, floor rows
+        plus (when present) the sparse hole points."""
+        corr = self.adjoint_synthesis_cut(self.w_cut * self.synthesis_cut(sb))
+        if self.has_sparse:
+            corr = corr + self.adjoint_synthesis_sp(
+                self.w_sp * self.synthesis_sp(sb))
+        return corr
+
     def q_apply_cut(self, s: jnp.ndarray, inv_cvar: jnp.ndarray):
         """Exact masked Q apply via the complement decomposition:
         Q s = (C^-1 + tau_bar/omega b_l^2) s
-              - B A_cut^T (w_cut A_cut B s)
+              - B [A_cut^T (w_cut A_cut B s) + A_sp^T (w_sp A_sp B s)]
         — identical to q_apply on a quadrature grid, but the transforms run
-        over the cut rings only (the masked band), not the full sphere."""
+        over the masked floor rings and hole points only, not the full
+        sphere."""
         mask = self.ell_mask(s.dtype)
         s = s * mask
         sb = self.beam(s)
-        corr = self.beam(self.adjoint_synthesis_cut(
-            self.w_cut * self.synthesis_cut(sb)))
+        corr = self.beam(self._w_corr(sb))
         diag = inv_cvar + self.harmonic_noise_diag().astype(s.dtype)
         return (diag * s - corr) * mask
 
@@ -225,8 +258,7 @@ class SkyModel:
             # must too (the quadrature identity holds on that subspace)
             s = s * self._op_valid_mask(s.dtype)
             sb = self.beam(s)
-            corr = self.beam(self.adjoint_synthesis_cut(
-                self.w_cut * self.synthesis_cut(sb)))
+            corr = self.beam(self._w_corr(sb))
             return self.harmonic_noise_diag().astype(s.dtype) * s - corr
         return self.project_data(self.noise.inv_noise * self.forward(s))
 
@@ -242,11 +274,13 @@ class SkyModel:
         return c0, c1
 
     def data_loglike_cut(self, u: jnp.ndarray,
-                         au_cut: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                         au_cut: Optional[jnp.ndarray] = None,
+                         au_sp: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """-1/2 (d - A u)^T N^-1 (d - A u) via the complement identity;
         ``u`` is the beam-applied alm state; pass ``au_cut =
-        synthesis_cut(u)`` when it is already computed (shared with the
-        gradient's correction term)."""
+        synthesis_cut(u)`` (and ``au_sp = synthesis_sp(u)`` for sparse-split
+        models) when already computed (shared with the gradient's
+        correction term)."""
         u = u * self._op_valid_mask(u.dtype)
         if au_cut is None:
             au_cut = self.synthesis_cut(u)
@@ -255,7 +289,13 @@ class SkyModel:
         cross = jnp.sum(self.cut_c1 * u)
         r_cut = self.d_cut - au_cut
         cut = jnp.sum(self.w_cut * r_cut * r_cut)
-        return -0.5 * self.cut_c0 + cross - 0.5 * quad + 0.5 * cut
+        out = -0.5 * self.cut_c0 + cross - 0.5 * quad + 0.5 * cut
+        if self.has_sparse:
+            if au_sp is None:
+                au_sp = self.synthesis_sp(u)
+            r_sp = self.d_sp - au_sp
+            out = out + 0.5 * jnp.sum(self.w_sp * r_sp * r_sp)
+        return out
 
     def harmonic_noise_diag(self) -> jnp.ndarray:
         """(nfields, nstate) exact diagonal of B A^T N^-1 A B when the mask
@@ -283,7 +323,8 @@ def _cut_terms_cached(model: SkyModel):
     return cached_call(_CUT_TERMS_JIT, "cutterms", model)
 
 
-def with_cut_decomposition(model: SkyModel) -> SkyModel:
+def with_cut_decomposition(model: SkyModel,
+                           sparse_split: Optional[bool] = None) -> SkyModel:
     """Attach the cut-sky complement decomposition to a masked model.
 
     Requires per-field noise that is *uniform on unmasked pixels*
@@ -292,6 +333,18 @@ def with_cut_decomposition(model: SkyModel) -> SkyModel:
     ("cut" rows: any pixel with tau < tau_max) get their own SHT; masked
     operators then cost one transform over ~(1 - f_sky) of the rings instead
     of the full sphere.
+
+    ``sparse_split`` — the azimuthal-floor + sparse-hole split for masks
+    that are NOT azimuthally uniform (apodized band + point-source holes,
+    the reference's actual production mask, config.py:22-28):
+    w = w_floor(theta) + w_sparse(theta, phi) with w_floor the per-ring
+    azimuthal minimum.  The floor rides the uniform cut-ring SHT (so the
+    m/table-domain blocked-MH engines stay eligible and the "cut" rows
+    shrink back to the band) and the sparse remainder — supported only on
+    the hole pixels — goes through a point-set transform (sht.PointSHT).
+    None (default) = automatic: split when sparse pixels exist and cover
+    at most GS_SPARSE_MAX_FRAC (default 0.15) of the sky.  True/False
+    force it on/off.
 
     - On an iso-latitude quadrature grid (GL) the decomposition is EXACT:
       A^T diag(tau_bar q) A = (tau_bar/omega) I to machine precision.
@@ -305,16 +358,45 @@ def with_cut_decomposition(model: SkyModel) -> SkyModel:
       terms, the rank-one MH correction's cut part) are exact on any grid;
       only the smooth full-sphere quadratic terms carry the HEALPix
       quadrature error (measured at the 1e-3..1e-2 relative level near
-      lmax = 2 nside; tests/test_cut.py pins it).  See _healpix_cut for the
-      belt-rows-only constraint."""
+      lmax = 2 nside; tests/test_cut.py pins it).  With the sparse split,
+      cap-ring holes are supported too (they join the point set); without
+      it, masks must live on equatorial-belt rings (_healpix_cut)."""
     from ..sht.healpix import HealpixSHT
 
     if isinstance(model.sht, HealpixSHT):
-        return _healpix_cut(model)
-    return _quadrature_cut(model)
+        return _healpix_cut(model, sparse_split)
+    return _quadrature_cut(model, sparse_split)
 
 
-def _quadrature_cut(model: SkyModel) -> SkyModel:
+def _sparse_auto(n_sp: int, npix: int, sparse_split) -> bool:
+    if sparse_split is not None:
+        return bool(sparse_split) and n_sp > 0
+    import os as _os
+    frac = float(_os.environ.get("GS_SPARSE_MAX_FRAC", "0.15"))
+    return 0 < n_sp <= frac * npix
+
+
+def _attach_sparse(model, out, w_sp_flat, d_flat, ring_idx, theta, phi,
+                   flat_idx, dt):
+    """Build the PointSHT over the sparse pixels and gather w_sp / d_sp.
+    w_sp_flat, d_flat: (nfields, npix_flat) host arrays."""
+    import dataclasses as _dc
+    from ..sht.points import PointSHT, group_points_by_ring
+
+    theta_rows, phi_pad, valid, gidx = group_points_by_ring(
+        ring_idx, theta, phi, flat_idx)
+    sht = model.sht
+    sp_sht = PointSHT(theta_rows, phi_pad, valid, sht.lmax, dtype=sht.dtype,
+                      spin0=(model.spin != 2), spin2=(model.spin >= 2),
+                      table_dtype=sht.table_dtype, m_block=sht.m_block)
+    w_sp = w_sp_flat[:, gidx] * valid[None]
+    d_sp = None if d_flat is None else \
+        jnp.asarray(d_flat[:, gidx] * valid[None], dtype=dt)
+    return _dc.replace(out, sp_sht=sp_sht,
+                       w_sp=jnp.asarray(w_sp, dtype=dt), d_sp=d_sp)
+
+
+def _quadrature_cut(model: SkyModel, sparse_split=None) -> SkyModel:
     import dataclasses as _dc
     from ..sht.grids import SphereGrid, subgrid_rows
 
@@ -326,16 +408,41 @@ def _quadrature_cut(model: SkyModel) -> SkyModel:
     q = np.asarray(noise.q_map)
     tau_bar = tau.reshape(tau.shape[0], -1).max(axis=1)
     w = q * (tau_bar[:, None, None] - tau)
-    rows = np.where(np.any(w > 1e-12 * tau_bar.max(), axis=(0, 2)))[0]
-    if rows.size == 0:
+    tol = 1e-12 * tau_bar.max()
+    any_rows = np.where(np.any(w > tol, axis=(0, 2)))[0]
+    if any_rows.size == 0:
         raise ValueError("model has no masked pixels; cut decomposition "
                          "is pointless on the full sky")
     sht = model.sht
+    grid = sht.grid
+    dt = sht.dtype
+
+    # azimuthal floor + sparse remainder
+    w_floor = w.min(axis=2)                          # (nf, nr)
+    w_sp_full = np.maximum(w - w_floor[:, :, None], 0.0)
+    w_sp_full[w_sp_full <= tol] = 0.0
+    sp_pix = np.any(w_sp_full > 0.0, axis=0)         # (nr, nphi)
+    n_sp = int(sp_pix.sum())
+    split = _sparse_auto(n_sp, sp_pix.size, sparse_split)
+
+    if split:
+        rows = np.where(np.any(w_floor > tol, axis=0))[0]
+        if rows.size == 0:
+            # holes-only mask: keep ONE zero-weight floor row so the cut
+            # transform (and every consumer of it) stays non-degenerate;
+            # w_cut = 0 there makes it a mathematical no-op
+            rows = any_rows[:1]
+            w_floor = np.zeros_like(w_floor)
+        w_cut_np = np.broadcast_to(w_floor[:, rows, None],
+                                   (w.shape[0], rows.size, w.shape[2]))
+    else:
+        rows = any_rows
+        w_cut_np = w[:, rows, :]
+
     cut_sht = SHT(subgrid_rows(sht.grid, rows), sht.lmax, dtype=sht.dtype,
                   spin2=(model.spin >= 2), fft_mode=sht.fft_mode,
                   table_dtype=sht.table_dtype, m_block=sht.m_block,
                   ring_split=False)
-    dt = sht.dtype
     out = _dc.replace(
         model,
         cut_sht=cut_sht,
@@ -344,12 +451,21 @@ def _quadrature_cut(model: SkyModel) -> SkyModel:
                # remote compile per call on the axon tunnel
                else jnp.asarray(np.asarray(model.d)[..., rows, :],
                                 dtype=dt)),
-        w_cut=jnp.asarray(w[:, rows, :], dtype=dt),
-        cut_w_uniform=bool(np.allclose(w[:, rows, :], w[:, rows, :1],
+        w_cut=jnp.asarray(w_cut_np, dtype=dt),
+        cut_w_uniform=bool(np.allclose(w_cut_np, w_cut_np[:, :, :1],
                                        rtol=0, atol=0)),
-        cut_w_equal_fields=bool(np.allclose(w[:, rows, :], w[:1, rows, :],
+        cut_w_equal_fields=bool(np.allclose(w_cut_np, w_cut_np[:1],
                                             rtol=0, atol=0)),
     )
+    if split:
+        rr, cc = np.nonzero(sp_pix)
+        phi = grid.phi0[rr] + 2.0 * np.pi * cc / grid.nphi
+        flat_idx = rr * grid.nphi + cc
+        nf = w.shape[0]
+        d_flat = (None if model.d is None
+                  else np.asarray(model.d).reshape(model.nfields, -1))
+        out = _attach_sparse(model, out, w_sp_full.reshape(nf, -1), d_flat,
+                             rr, grid.theta[rr], phi, flat_idx, dt)
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)
         out = _dc.replace(out, cut_c0=c0, cut_c1=c1)
@@ -390,15 +506,21 @@ def healpix_belt_rows(sht, cols):
     return rows, idx
 
 
-def _healpix_cut(model: SkyModel) -> SkyModel:
-    """HEALPix cut decomposition: the masked pixels must all lie on
-    equatorial-belt rings (the production galactic cut does; reference mask:
-    config.py:22-28).  Belt rings share one uniform nphi = 4 nside and are
-    iso-latitude, so the cut transform is a plain :class:`~.transform.SHT`
-    over those rings built with ``allow_aliasing=True`` (synthesis and its
-    transpose are exact pointwise on any nphi; nphi = 2 lmax < 2 lmax + 2
-    here).  Cap-ring masks (varying ring length) are rejected — fall back
-    to the full-transform paths for those."""
+def _healpix_cut(model: SkyModel, sparse_split=None) -> SkyModel:
+    """HEALPix cut decomposition.  The azimuthally-uniform FLOOR of the
+    mask must lie on equatorial-belt rings (the production galactic cut
+    does; reference mask: config.py:22-28): belt rings share one uniform
+    nphi = 4 nside and are iso-latitude, so the floor's cut transform is a
+    plain :class:`~.transform.SHT` over those rings built with
+    ``allow_aliasing=True`` (synthesis and its transpose are exact
+    pointwise on any nphi; nphi = 2 lmax < 2 lmax + 2 here).
+
+    With the sparse split, everything the floor does not cover — point
+    -source holes at ANY latitude including cap rings, apodization
+    azimuthal structure — goes to the point-set transform, closing the
+    cap-ring gap of earlier rounds.  Without it (sparse_split=False or the
+    sparse set too large), masked pixels off the belt rings are rejected —
+    fall back to the full-transform paths for those masks."""
     import dataclasses as _dc
     from ..sht.grids import SphereGrid
     from ..sht.transform import SHT
@@ -411,12 +533,49 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
     tau_bar = tau.max(axis=1)
     w = q * (tau_bar[:, None] - tau)
     w = np.maximum(w, 0.0)
-    cols = np.where(np.any(w > 1e-12 * tau_bar.max(), axis=0))[0]
+    tol = 1e-12 * tau_bar.max()
+    cols = np.where(np.any(w > tol, axis=0))[0]
     if cols.size == 0:
         raise ValueError("model has no masked pixels; cut decomposition "
                          "is pointless on the full sky")
-    rows, idx = healpix_belt_rows(sht, cols)
     nb = 4 * sht.nside
+    nf = w.shape[0]
+    ring_start = np.asarray(geo.ring_start)
+    nphi_r = np.asarray(geo.nphi)
+
+    # ring-order view of the weights (pix_of: RING pixel -> layout index)
+    if getattr(sht, "layout", "ring") == "padded":
+        pix_of = np.asarray(sht._pix_of)
+    else:
+        pix_of = np.arange(geo.npix)
+    w_ring = w[:, pix_of]                              # (nf, npix) ring order
+    ring_of = np.searchsorted(ring_start, np.arange(geo.npix),
+                              side="right") - 1
+    # per-ring azimuthal floor over BELT rings only (cap rings have varying
+    # nphi and cannot join the uniform cut transform; their weight goes
+    # entirely to the sparse set)
+    belt_lo, belt_hi = sht.ncap, sht.ncap + sht.nbelt
+    w_floor = np.zeros((nf, geo.nrings))
+    for r in range(belt_lo, belt_hi):
+        s = ring_start[r]
+        w_floor[:, r] = w_ring[:, s: s + nb].min(axis=1)
+    w_sp_ring = np.maximum(w_ring - w_floor[:, ring_of], 0.0)
+    w_sp_ring[w_sp_ring <= tol] = 0.0
+    sp_pix = np.any(w_sp_ring > 0.0, axis=0)
+    n_sp = int(sp_pix.sum())
+    split = _sparse_auto(n_sp, geo.npix, sparse_split)
+
+    if split:
+        rows = np.where(np.any(w_floor > tol, axis=0))[0]
+        if rows.size == 0:
+            rows = np.array([belt_lo + sht.nbelt // 2])
+            w_floor = np.zeros_like(w_floor)
+        idx = pix_of[ring_start[rows][:, None] + np.arange(nb)[None, :]]
+        w_cut_np = np.broadcast_to(w_floor[:, rows, None],
+                                   (nf, rows.size, nb))
+    else:
+        rows, idx = healpix_belt_rows(sht, cols)
+        w_cut_np = w[:, idx]
 
     import hashlib
     tag = hashlib.sha1(rows.tobytes()).hexdigest()[:10]
@@ -440,12 +599,25 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
         cut_sht=cut_sht,
         d_cut=(None if model.d is None
                else jnp.asarray(np.asarray(model.d)[..., idx], dtype=dt)),
-        w_cut=jnp.asarray(w[:, idx], dtype=dt),
-        cut_w_uniform=bool(np.allclose(w[:, idx], w[:, idx[:, :1]],
+        w_cut=jnp.asarray(w_cut_np, dtype=dt),
+        cut_w_uniform=bool(np.allclose(w_cut_np, w_cut_np[:, :, :1],
                                        rtol=0, atol=0)),
-        cut_w_equal_fields=bool(np.allclose(w[:, idx], w[:1, idx],
+        cut_w_equal_fields=bool(np.allclose(w_cut_np, w_cut_np[:1],
                                             rtol=0, atol=0)),
     )
+    if split:
+        rp = np.where(sp_pix)[0]                       # ring-order pixels
+        r_of = ring_of[rp]
+        j = rp - ring_start[r_of]
+        phi = np.asarray(geo.phi0)[r_of] + 2.0 * np.pi * j / nphi_r[r_of]
+        flat_idx = pix_of[rp]                          # layout indices
+        # sparse weights in LAYOUT order for the gather
+        w_sp_layout = np.zeros_like(w)
+        w_sp_layout[:, pix_of] = w_sp_ring
+        d_flat = None if model.d is None else np.asarray(model.d)
+        out = _attach_sparse(model, out, w_sp_layout, d_flat,
+                             r_of, np.asarray(geo.theta)[r_of], phi,
+                             flat_idx, dt)
     if model.d is not None:
         c0, c1 = _cut_terms_cached(out)
         out = _dc.replace(out, cut_c0=c0, cut_c1=c1)
@@ -454,6 +626,7 @@ def _healpix_cut(model: SkyModel) -> SkyModel:
 
 register_arrays_pytree(SkyModel,
                        array_fields=("sht", "noise", "bl", "d", "cut_sht",
-                                     "d_cut", "w_cut", "cut_c0", "cut_c1"),
+                                     "d_cut", "w_cut", "cut_c0", "cut_c1",
+                                     "sp_sht", "d_sp", "w_sp"),
                        static_fields=("spin", "cut_w_uniform",
                                       "cut_w_equal_fields"))

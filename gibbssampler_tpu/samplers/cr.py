@@ -66,17 +66,18 @@ def noise_pool_spec(method: str, opts: dict) -> dict:
     """Number of pre-drawn N(0,1) fields each CR method consumes per step,
     by kind: "state" (nfields, nstate), "aux" (the auxiliary pixel field's
     shape — the cut rows under the cut decomposition, the full pixel grid
-    otherwise), "pix" (full pixel grid)."""
+    otherwise), "sp" (the sparse-hole point block of the auxiliary field,
+    present only for sparse-split models), "pix" (full pixel grid)."""
     n_g = int(opts.get("n_gibbs", 1))
     return {
         "exact": {"state": 1},
         "cg": {"state": 1, "pix": 1},
         "rjpo": {"state": 1, "pix": 1},
-        "aux_gibbs": {"state": n_g, "aux": n_g},
-        "overrelax": {"state": 2 * n_g, "aux": 1 + n_g},
+        "aux_gibbs": {"state": n_g, "aux": n_g, "sp": n_g},
+        "overrelax": {"state": 2 * n_g, "aux": 1 + n_g, "sp": 1 + n_g},
         "mala": {"state": 1},
         "ula": {"state": 1},
-        "aux_mala": {"state": n_g + 1, "aux": n_g},
+        "aux_mala": {"state": n_g + 1, "aux": n_g, "sp": n_g},
         "pcn": {"state": 1},
     }[method]
 
@@ -241,6 +242,16 @@ def rjpo_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 # Auxiliary-variable Gibbs and overrelaxation
 # ---------------------------------------------------------------------------
 
+def _normal_like(key, tree, dt):
+    """N(0,1) draws matching an arbitrary pytree of arrays (one key split
+    per leaf)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree.unflatten(
+        treedef, [jax.random.normal(k, l.shape, dtype=dt)
+                  for k, l in zip(keys, leaves)])
+
+
 def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
     """Shared pieces: the pixel gap operator (mu - N^-1), the harmonic
     posterior variance Sigma = (C^-1 + mu_bar/omega b_l^2)^-1, and the
@@ -250,13 +261,33 @@ def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
     max(N^-1) (eps = 0): the gap then vanishes off the masked rings, the
     auxiliary field v lives on the cut rings only (zero-variance components
     are almost surely zero and drop out of both conditionals), and both
-    conditionals run through cut-ring transforms."""
+    conditionals run through cut-ring transforms.
+
+    With the sparse split (floor + holes) the gap splits further:
+    mu - N^-1 = w_floor + w_sp as nonnegative pixel-diagonal parts, each
+    with its OWN independent auxiliary field — the augmentation identity
+    exp(-1/2 s^T B A^T diag(w1 + w2) A B s) = the product of two
+    independent augmentations, so the Gibbs sweep targets the same
+    posterior.  ``gap`` / the fwd output / the proj input are then
+    (floor, sparse) tuples; all gap arithmetic in the conditionals is
+    tree-mapped."""
     from ..harmonics.gridstate import expand_cl_state
     noise = model.noise
     dt = var_cls.dtype
     inv_cvar = _safe_inv(var_cls)
     bl2 = expand_cl_state(model.bl.astype(dt) ** 2, model.lmax)
-    if model.has_cut:
+    if model.has_cut and model.has_sparse:
+        gap = (model.w_cut.astype(dt), model.w_sp.astype(dt))
+        mu_bar = noise.tau_max.astype(dt)
+
+        def fwd(s):
+            u = model.beam(s)
+            return (model.synthesis_cut(u), model.synthesis_sp(u))
+
+        def proj(v):
+            return model.beam(model.adjoint_synthesis_cut(v[0])
+                              + model.adjoint_synthesis_sp(v[1]))
+    elif model.has_cut:
         gap = model.w_cut.astype(dt)
         mu_bar = noise.tau_max.astype(dt)
         fwd = lambda s: model.synthesis_cut(model.beam(s))
@@ -287,15 +318,19 @@ def aux_gibbs_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
         k, xi_v, xi_s = xs
         if xi_v is None:
             kv, ks = jax.random.split(k)
-            xi_v = jax.random.normal(kv, gap.shape, dtype=var_cls.dtype)
+            xi_v = _normal_like(kv, gap, var_cls.dtype)
             xi_s = jax.random.normal(ks, var_cls.shape, dtype=var_cls.dtype)
-        v = gap * fwd(s) + jnp.sqrt(gap) * xi_v
+        v = jax.tree.map(lambda g, f, x: g * f + jnp.sqrt(g) * x,
+                         gap, fwd(s), xi_v)
         s = sigma * (proj(v) + bt_ninv_d) + jnp.sqrt(sigma) * xi_s
         return s, None
 
     keys = jax.random.split(key, n_gibbs)
     if pool:
-        xs = (keys, pool.take("aux", n_gibbs), pool.take("state", n_gibbs))
+        xi_v = pool.take("aux", n_gibbs)
+        if isinstance(gap, tuple):
+            xi_v = (xi_v, pool.take("sp", n_gibbs))
+        xs = (keys, xi_v, pool.take("state", n_gibbs))
     else:
         xs = (keys, None, None)
     s, _ = jax.lax.scan(sweep, s_old * _active(var_cls), xs)
@@ -321,9 +356,14 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     s = s_old * _active(var_cls)
 
     # initial v draw (plain) to define the chain state
-    xi = pool.take("aux") if pool else jax.random.normal(kinit, gap.shape,
-                                                         dtype=dt)
-    v = gap * fwd(s) + jnp.sqrt(gap) * xi
+    if pool:
+        xi = pool.take("aux")
+        if isinstance(gap, tuple):
+            xi = (xi, pool.take("sp"))
+    else:
+        xi = _normal_like(kinit, gap, dt)
+    v = jax.tree.map(lambda g, f, x: g * f + jnp.sqrt(g) * x,
+                     gap, fwd(s), xi)
 
     def sweep(carry, xs):
         s, v = carry
@@ -331,12 +371,14 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
         if xi_s1 is None:
             k1, k2, k3 = jax.random.split(k, 3)
             xi_s1 = jax.random.normal(k1, var_cls.shape, dtype=dt)
-            xi_v = jax.random.normal(k2, gap.shape, dtype=dt)
+            xi_v = _normal_like(k2, gap, dt)
             xi_s2 = jax.random.normal(k3, var_cls.shape, dtype=dt)
         m = sigma * (proj(v) + bt_ninv_d)
         s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi_s1
-        mv = gap * fwd(s)
-        v = mv + alpha * (v - mv) + sq * jnp.sqrt(gap) * xi_v
+        v = jax.tree.map(
+            lambda g, f, vv, x: (lambda mv: mv + alpha * (vv - mv)
+                                 + sq * jnp.sqrt(g) * x)(g * f),
+            gap, fwd(s), v, xi_v)
         m = sigma * (proj(v) + bt_ninv_d)
         s = m + alpha * (s - m) + sq * jnp.sqrt(sigma) * xi_s2
         return (s, v), None
@@ -344,7 +386,10 @@ def overrelax_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
     keys = jax.random.split(kscan, n_gibbs)
     if pool:
         st = pool.take("state", 2 * n_gibbs)
-        xs = (keys, st[0::2], pool.take("aux", n_gibbs), st[1::2])
+        xi_v = pool.take("aux", n_gibbs)
+        if isinstance(gap, tuple):
+            xi_v = (xi_v, pool.take("sp", n_gibbs))
+        xs = (keys, st[0::2], xi_v, st[1::2])
     else:
         xs = (keys, None, None, None)
     (s, v), _ = jax.lax.scan(sweep, (s, v), xs)
@@ -377,15 +422,20 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
     if model.has_cut:
         def fwd_grad_logp(x):
-            """one cut synthesis + one cut adjoint -> (gradient, log target)."""
+            """one cut synthesis + one cut adjoint (plus the sparse-point
+            pair when the floor+sparse split is attached) ->
+            (gradient, log target)."""
             u = model.beam(x)
             au_cut = model.synthesis_cut(u)
-            corr = model.beam(model.adjoint_synthesis_cut(
-                model.w_cut * au_cut))
-            qs = hdiag * x - corr
+            corr = model.adjoint_synthesis_cut(model.w_cut * au_cut)
+            au_sp = None
+            if model.has_sparse:
+                au_sp = model.synthesis_sp(u)
+                corr = corr + model.adjoint_synthesis_sp(model.w_sp * au_sp)
+            qs = hdiag * x - model.beam(corr)
             grad = (-inv_cvar * x - qs + bt_ninv_d) * _active(var_cls)
             logp = (-0.5 * jnp.sum(inv_cvar * x * x)
-                    + model.data_loglike_cut(u, au_cut))
+                    + model.data_loglike_cut(u, au_cut, au_sp))
             return grad, logp
     else:
         def fwd_grad_logp(x):

@@ -195,6 +195,11 @@ class GibbsScheme:
         shapes = {"state": (m.nfields, m.nstate),
                   "aux": aux_shape,
                   "pix": tuple(m.noise.tau.shape)}
+        if getattr(m, "has_sparse", False):
+            # sparse-split models: the auxiliary field's hole-point block
+            shapes["sp"] = tuple(m.w_sp.shape)
+        else:
+            spec = {k: v for k, v in spec.items() if k != "sp"}
         # HBM guard: the pool is nchains * K * field-size; many-sweep CR
         # configurations (e.g. overrelax n_gibbs=20 -> K=40 state fields)
         # at 128 chains would pre-draw tens of GB.  Past the cap, fall
@@ -202,15 +207,16 @@ class GibbsScheme:
         # blow-up).
         import os as _os
         cap = float(_os.environ.get("GS_NOISE_POOL_MAX_GB", "4")) * 2 ** 30
+        kinds = ("state", "aux", "pix", "sp")
         total = sum(int(spec.get(kind, 0)) * int(np.prod(shapes[kind]))
-                    for kind in ("state", "aux", "pix")) \
+                    for kind in kinds if kind in shapes) \
             * nchains * jnp.dtype(dt).itemsize
         if total > cap:
             return {}
         pool = {}
-        keys = jax.random.split(key, 3)
-        for i, kind in enumerate(("state", "aux", "pix")):
-            k = int(spec.get(kind, 0))
+        keys = jax.random.split(key, len(kinds))
+        for i, kind in enumerate(kinds):
+            k = int(spec.get(kind, 0)) if kind in shapes else 0
             if k:
                 pool[kind] = jax.random.normal(
                     keys[i], (nchains, k) + shapes[kind], dtype=dt)

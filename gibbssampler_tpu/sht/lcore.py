@@ -199,6 +199,44 @@ class LegendreCore:
         F = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
         return F.astype(self.dtype)
 
+    def _lsel_F(self, lam, g2, j_idx, seg):
+        """Per-bin Legendre synthesis without the dense one-hot ell
+        contraction: j_idx (J,) static selected ells (disjoint bins), seg
+        (J, nb) static 0/1 segment matrix (None when every bin is a single
+        ell, i.e. j IS the bin axis).  Returns (..., nb, c, nr, L) ring
+        Fourier coefficients.  Each selected ell costs one table *gather*
+        plus an elementwise product — O(J/L) of the dense
+        ``_lsynth_stack_binned`` einsum's flops."""
+        if self.ring_split:
+            raise NotImplementedError(
+                "ell-selected synthesis requires ring_split=False tables")
+        gt = g2.astype(self.table_dtype)
+        j_idx = np.asarray(j_idx)
+        outs = []
+        for (m0, m1), blk in zip(self._msplit(), lam):
+            jrel = j_idx - m0
+            valid = jrel >= 0
+            lamj = jnp.take(blk, jnp.asarray(np.where(valid, jrel, 0)),
+                            axis=1)                      # (mb, J, r)
+            if not valid.all():
+                lamj = lamj * jnp.asarray(
+                    valid.astype(np.float64), lamj.dtype)[None, :, None]
+            gj = jnp.take(gt[..., m0:m1, :], jnp.asarray(j_idx),
+                          axis=-1)                       # (..., c, mb, J)
+            prod = gj[..., None] * lamj                  # (..., c, mb, J, r)
+            if seg is None:
+                # j == bin: (..., c, m, j, r) -> (..., j, c, r, m)
+                Fb = jnp.moveaxis(jnp.moveaxis(prod, -2, -4), -1, -2)
+                Fb = Fb.astype(self.dtype)
+            else:
+                Fb = jnp.einsum("...cmjr,jb->...bcrm", prod,
+                                jnp.asarray(seg, self.table_dtype),
+                                preferred_element_type=self.dtype
+                                ).astype(self.dtype)
+            outs.append(Fb)
+        F = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return F
+
     def _lsynth2(self, lam, re, im):
         """[re, im] (..., L, L) -> (Fre, Fim) (..., nr, L), one table read."""
         F = self._lsynth_stack(lam, jnp.stack([re, im], axis=-3))

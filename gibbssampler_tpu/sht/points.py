@@ -1,0 +1,234 @@
+"""Point-set spherical-harmonic evaluation — the sparse-hole operator.
+
+Evaluates ``A s`` (and its exact transpose) at an arbitrary list of sky
+positions grouped by iso-latitude ring: each "row" is one colatitude with
+its own arbitrary azimuth list (padded to a common width ``p``; padded
+slots are annihilated by the validity mask on both sides, so synthesis and
+adjoint stay exact transposes of each other).
+
+Why it exists: the reference's production mask is an apodized galactic
+mask PLUS point-source holes at all latitudes (reference: config.py:22-28,
+Planck HFI GalPlane-apo0 + point sources), and healpy always transforms
+the full sphere (reference: NonCenteredGibbs.py:333-355).  Under the
+cut-sky complement decomposition (ops.model.with_cut_decomposition) the
+azimuthally-uniform "floor" of such a mask runs through the uniform-grid
+cut-ring SHT (m/table-domain fast paths eligible) while the sparse hole
+pixels — a few thousand points instead of half the sphere — run through
+this operator: a per-m Legendre stage shared with the grid transforms
+(sht.lcore) followed by a thin per-row trig matmul at the exact azimuths
+(a type-2 nonuniform DFT expressed as MXU matmuls).
+
+Conventions match :class:`~gibbssampler_tpu.sht.transform.SHT` exactly
+(same Legendre tables, same spin-2 F+/F- assembly); azimuths are stored
+ABSOLUTE, so no per-ring phase rotation is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import register_arrays_pytree
+from .lcore import LegendreCore
+from .legendre import legendre_table, spin2_lambda_tables
+
+__all__ = ["PointSHT", "group_points_by_ring"]
+
+
+def group_points_by_ring(ring_idx, theta, phi, flat_idx):
+    """Group a flat point list by ring and pad to a rectangle.
+
+    ring_idx, theta, phi, flat_idx: (npts,) per-point arrays (ring label,
+    colatitude, absolute azimuth, index into the caller's flat pixel
+    layout).  Returns (theta_rows (nrows,), phi_pad (nrows, p),
+    valid (nrows, p), gather_idx (nrows, p) int64 — flat_idx per slot with
+    0 on padding; mask with ``valid`` after gathering)."""
+    ring_idx = np.asarray(ring_idx)
+    order = np.argsort(ring_idx, kind="stable")
+    ring_idx = ring_idx[order]
+    theta = np.asarray(theta, np.float64)[order]
+    phi = np.asarray(phi, np.float64)[order]
+    flat_idx = np.asarray(flat_idx, np.int64)[order]
+    rows, starts, counts = np.unique(ring_idx, return_index=True,
+                                     return_counts=True)
+    nrows = rows.size
+    p = int(counts.max())
+    phi_pad = np.zeros((nrows, p))
+    valid = np.zeros((nrows, p))
+    gidx = np.zeros((nrows, p), dtype=np.int64)
+    theta_rows = np.empty(nrows)
+    for k in range(nrows):
+        s, c = starts[k], counts[k]
+        theta_rows[k] = theta[s]
+        phi_pad[k, :c] = phi[s: s + c]
+        valid[k, :c] = 1.0
+        gidx[k, :c] = flat_idx[s: s + c]
+    return theta_rows, phi_pad, valid, gidx
+
+
+class PointSHT(LegendreCore):
+    """Precomputed point-evaluation operators for one (point set, lmax).
+
+    Same pure-method surface as the grid transforms where it matters to
+    :class:`~gibbssampler_tpu.ops.model.SkyModel`: ``synthesis_state`` /
+    ``adjoint_synthesis_state`` (spin 0), ``synthesis_spin2_state`` /
+    ``adjoint_synthesis_spin2_state``, plus the ell-selected per-bin
+    variants the blocked-MH fast path uses.  "Maps" are (..., nrows, p)
+    value arrays.
+    """
+
+    map_ndim = 2   # values are (..., nrows, p)
+
+    def __init__(self, theta, phi, valid, lmax: int, dtype=jnp.float32,
+                 spin0: bool = True, spin2: bool = False, table_dtype=None,
+                 m_block: int = 128):
+        theta = np.asarray(theta, np.float64)        # (nrows,)
+        phi = np.asarray(phi, np.float64)            # (nrows, p)
+        valid_np = np.asarray(valid, np.float64)
+        if phi.ndim != 2 or phi.shape[0] != theta.shape[0]:
+            raise ValueError("phi must be (nrows, p) matching theta")
+        self._init_core(lmax, theta, dtype, table_dtype, m_block,
+                        ring_split=False)
+        self.nrows, self.p = int(phi.shape[0]), int(phi.shape[1])
+        L = lmax + 1
+        ang = phi[:, None, :] * np.arange(L)[None, :, None]   # (nr, L, p)
+        self.cosT = jnp.asarray(np.cos(ang), dtype=self.table_dtype)
+        self.sinT = jnp.asarray(np.sin(ang), dtype=self.table_dtype)
+        self.valid = jnp.asarray(valid_np, dtype=self.dtype)
+        self.lam0 = (self._block_table(legendre_table(lmax, np.cos(theta)))
+                     if spin0 else None)
+        self.lam_p2 = self.lam_m2 = self.lam_w = self.lam_x = None
+        if spin2:
+            lp, lm_ = spin2_lambda_tables(lmax, theta)
+            self._build_spin2_tables(lp, lm_)
+
+    # -- azimuthal point stage (exact-transpose pair) ----------------------
+
+    def _to_points(self, Cc, Cs):
+        """Half-spectrum coefficients (..., nr, L) -> values (..., nr, p):
+        v[r, k] = sum_m Cc cos(m phi_rk) + Cs sin(m phi_rk)."""
+        td = self.table_dtype
+        v = (jnp.einsum("...rm,rmp->...rp", Cc.astype(td), self.cosT,
+                        preferred_element_type=self.dtype)
+             + jnp.einsum("...rm,rmp->...rp", Cs.astype(td), self.sinT,
+                          preferred_element_type=self.dtype))
+        return v.astype(self.dtype) * self.valid
+
+    def _from_points(self, f):
+        """Exact transpose of _to_points: values -> (Sc, Ss) trig sums."""
+        ft = (f * self.valid).astype(self.table_dtype)
+        Sc = jnp.einsum("...rp,rmp->...rm", ft, self.cosT,
+                        preferred_element_type=self.dtype).astype(self.dtype)
+        Ss = jnp.einsum("...rp,rmp->...rm", ft, self.sinT,
+                        preferred_element_type=self.dtype).astype(self.dtype)
+        return Sc, Ss
+
+    def _cm(self):
+        return jnp.ones((self.lmax + 1,), self.dtype).at[1:].set(2.0)
+
+    def _pos(self):
+        return jnp.ones((self.lmax + 1,), self.dtype).at[0].set(0.0)
+
+    # -- spin 0 ------------------------------------------------------------
+
+    def synthesis_state(self, x: jnp.ndarray) -> jnp.ndarray:
+        """A: grid-packed alm state (..., nstate) -> values (..., nr, p)."""
+        F = self._lsynth_stack(self.lam0, self._state_grids(x))
+        cm = self._cm()
+        return self._to_points(cm * F[..., 0, :, :], -(cm * F[..., 1, :, :]))
+
+    def adjoint_synthesis_state(self, f: jnp.ndarray) -> jnp.ndarray:
+        """A^T: exact transpose of ``synthesis_state`` (no cm factor here:
+        the grid-packing output scale absorbs it, exactly as in
+        SHT._analysis_core_state)."""
+        Sc, Ss = self._from_points(f)
+        a2 = self._ladj_stack(self.lam0, jnp.stack([Sc, -Ss], axis=-3))
+        return self._grids_to_state(a2)
+
+    # -- spin 2 ------------------------------------------------------------
+
+    def _require_spin2(self):
+        if self.lam_p2 is None:
+            raise ValueError("PointSHT built without spin2=True")
+
+    def _spin2_points_from_F(self, Fp_re, Fp_im, Fm_re, Fm_im):
+        """(F+, F-) ring Fourier coefficients -> (Q, U) point values (the
+        azimuthal assembly of SHT._spin2_maps_from_F at exact azimuths)."""
+        pos = self._pos()
+        Are = Fp_re + Fm_re * pos
+        Aim = Fp_im + Fm_im * pos
+        Bre = Fp_re - Fm_re * pos
+        Bim = Fp_im - Fm_im * pos
+        # Q = sum Are cos - Aim sin ; U = sum Bim cos + Bre sin
+        return self._to_points(Are, -Aim), self._to_points(Bim, Bre)
+
+    def synthesis_spin2_state(self, e_state: jnp.ndarray,
+                              b_state: jnp.ndarray):
+        """(E, B) grid-packed states -> (Q, U) point values."""
+        self._require_spin2()
+        return self._spin2_points_from_F(*self._spin2_F(e_state, b_state))
+
+    def adjoint_synthesis_spin2_state(self, q: jnp.ndarray, u: jnp.ndarray):
+        """Exact transpose of ``synthesis_spin2_state``."""
+        self._require_spin2()
+        qc, qs = self._from_points(q)
+        uc, us = self._from_points(u)
+        # C+ = sum (Q+iU) e^{-im phi}, C- = sum (Q+iU) e^{+im phi}
+        # (the absolute-frame trig sums of SHT._analysis_spin2_core)
+        return self._spin2_alm(qc + us, uc - qs, qc - us, uc + qs)
+
+    # -- ell-selected per-bin values (blocked-MH fast-path hooks) -----------
+
+    def values_lsel_spin0_grids(self, g0, j_idx, seg):
+        """Per-bin ell-selected spin-0 values from a prebuilt
+        ``_state_grids`` array: (..., nb, nr, p)."""
+        F = self._lsel_F(self.lam0, g0, j_idx, seg)
+        cm = self._cm()
+        return self._to_points(cm * F[..., 0, :, :], -(cm * F[..., 1, :, :]))
+
+    def values_lsel_spin2_grids(self, g, sign_p, sign_m, j_idx, seg):
+        """Per-bin ell-selected spin-2 values from a prebuilt single-field
+        grid (SHT.lsel_grid_spin2_single): -> (Q, U) each (..., nb, nr, p)."""
+        self._require_spin2()
+        Fp = self._lsel_F(self.lam_p2, g, j_idx, seg)
+        Fm = self._lsel_F(self.lam_m2, g, j_idx, seg)
+        pos_p = sign_m * self._pos()
+        Are = sign_p * Fp[..., 0, :, :] + Fm[..., 0, :, :] * pos_p
+        Aim = sign_p * Fp[..., 1, :, :] + Fm[..., 1, :, :] * pos_p
+        Bre = sign_p * Fp[..., 0, :, :] - Fm[..., 0, :, :] * pos_p
+        Bim = sign_p * Fp[..., 1, :, :] - Fm[..., 1, :, :] * pos_p
+        return self._to_points(Are, -Aim), self._to_points(Bim, Bre)
+
+    def synthesis_state_lsel(self, x: jnp.ndarray, sel) -> jnp.ndarray:
+        """A applied to each ell-subset of x (sel (nb, L) 0/1 selectors)
+        -> (..., nb, nr, p) values (mirror of SHT.synthesis_state_lsel)."""
+        sel = jnp.asarray(sel, self.dtype)
+        F = self._lsynth_stack_binned(self.lam0, self._state_grids(x), sel)
+        cm = self._cm()
+        return self._to_points(cm * F[..., 0, :, :], -(cm * F[..., 1, :, :]))
+
+    def synthesis_spin2_state_lsel(self, e_state, b_state, sel):
+        """Spin-2 values of each ell-subset of (E, B): (..., nb, nr, p)
+        Q and U (mirror of SHT.synthesis_spin2_state_lsel)."""
+        self._require_spin2()
+        sel = jnp.asarray(sel, self.dtype)
+        eg = self._state_grids(e_state)
+        bg = self._state_grids(b_state)
+        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
+        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
+        ap = jnp.stack([-(ere - bim), -(eim + bre)], axis=-3)
+        am = jnp.stack([-(ere + bim), -(eim - bre)], axis=-3)
+        Fp = self._lsynth_stack_binned(self.lam_p2, ap, sel)
+        Fm = self._lsynth_stack_binned(self.lam_m2, am, sel)
+        return self._spin2_points_from_F(
+            Fp[..., 0, :, :], Fp[..., 1, :, :],
+            Fm[..., 0, :, :], Fm[..., 1, :, :])
+
+
+register_arrays_pytree(
+    PointSHT,
+    array_fields=("lam0", "lam_p2", "lam_m2", "lam_w", "lam_x", "cosT",
+                  "sinT", "valid", "par_sign", "pack_in", "pack_out"),
+    static_fields=("lmax", "dtype", "table_dtype", "m_block", "ring_split",
+                   "nrows", "p", "nrh", "has_mid"),
+)
