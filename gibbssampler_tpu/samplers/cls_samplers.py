@@ -422,7 +422,8 @@ def _chunk_ring_coefs(model, mgrids, f, j_idx, seg):
 
 
 def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
-                      prop_sigma_list, n_iter: int = 1, mdomain="auto"):
+                      prop_sigma_list, n_iter: int = 1, mdomain="auto",
+                      l_cut_identity: int | None = None):
     """Rank-one fast path of :func:`nc_cls_sample` for cut-decomposition
     models — same Markov kernel, same random stream, scalar-cost blocks.
 
@@ -446,7 +447,21 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
     evaluated directly (one cut synthesis each).  The reference's production
     blocking — EE one block, BB big block + ~133 per-bin blocks
     (config.py:44-55) — thus costs 2 cut syntheses + scalars per sweep
-    instead of ~136 full likelihood evaluations."""
+    instead of ~136 full likelihood evaluations.
+
+    Sparse-split models (floor + holes, ops.model.with_cut_decomposition):
+    every per-bin scalar gains a hole-point correction through the point
+    transform (q_i += ||sqrt(w_sp) A_sp t_i||^2, Gram and rho likewise) and
+    the sparse residual values are carried alongside the floor residual —
+    so the reference's ACTUAL mask shape (apodized band + point sources at
+    all latitudes, config.py:22-28) runs the fast engines instead of the
+    near-full-sphere chunked fallback.
+
+    ``l_cut_identity`` (PNCP, SURVEY.md 2.4): slots with l < l_cut use the
+    IDENTITY re-centering (u = B s_nc there, independent of D_ell) instead
+    of sqrt(C_l); the low-ell part enters as a fixed u_base with support
+    disjoint from every (high-ell) block, so the per-bin rank-one algebra
+    is unchanged."""
     if not model.has_cut:
         raise ValueError("nc_cls_sample_cut needs a cut-decomposition model")
     from ..harmonics.spectra import dl_to_cl_factor
@@ -512,6 +527,16 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
     # per-bin likelihood algebra in the ring half-spectrum basis
     use_m = (mdomain is not False) and bool(singles) \
         and _mdomain_eligible(model)
+    has_sp = getattr(model, "has_sparse", False)
+    if has_sp and use_m:
+        # sparse hole corrections are implemented for the table-domain
+        # engine and the phi-domain fallback; the coefficient m-domain
+        # engine is not extended — fall back to phi when it would be picked
+        use_m = (mdomain != "m"
+                 and getattr(model, "cut_w_equal_fields", False)
+                 and getattr(model.cut_sht, "nphi", 0) >= 2 * model.lmax)
+    spt = model.sp_sht if has_sp else None
+    w_sp = model.w_sp.astype(dt) if has_sp else None
 
     cut = model.cut_sht
     zeros = jnp.zeros_like(t[0])
@@ -526,12 +551,13 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         phi_chunks = _prepare_mchunks(singles, single_rows, bins_list,
                                       chunk_size=_PHI_CHUNK)
 
-    def _phi_chunk_maps(f, j_idx, seg, t_in):
-        """(nb, nfmaps, ncut, nphi) per-bin component maps A t_i of one
-        field-pure chunk, zero-filled on the map components the field does
-        not occupy (matches the full-stack layout the residual carries).
-        ``t_in`` is the (possibly barrier-sequenced) per-bin component
-        state."""
+    def _chunk_maps(tr, f, j_idx, seg, t_in):
+        """(nb, nfmaps, *pix) per-bin component maps/values A t_i of one
+        field-pure chunk through transform ``tr`` (the cut-ring SHT or the
+        sparse point transform — both expose synthesis_*_state_lsel),
+        zero-filled on the map components the field does not occupy
+        (matches the full-stack layout the residual carries).  ``t_in`` is
+        the (possibly barrier-sequenced) per-bin component state."""
         nbc = len(j_idx) if seg is None else seg.shape[1]
         sel = np.zeros((nbc, L))
         if seg is None:
@@ -542,35 +568,53 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         sel = jnp.asarray(sel, dt)
         z_in = jnp.zeros_like(t_in[0])
         if model.spin == 0:
-            return cut.synthesis_state_lsel(t_in[0], sel)[..., None, :, :]
+            return tr.synthesis_state_lsel(t_in[0], sel)[..., None, :, :]
         if model.spin == 2:
             if f == 0:
-                q, u_ = cut.synthesis_spin2_state_lsel(t_in[0], z_in, sel)
+                q, u_ = tr.synthesis_spin2_state_lsel(t_in[0], z_in, sel)
             else:
-                q, u_ = cut.synthesis_spin2_state_lsel(z_in, t_in[1], sel)
+                q, u_ = tr.synthesis_spin2_state_lsel(z_in, t_in[1], sel)
             return jnp.stack([q, u_], axis=-3)
         # spin 3: (T, E, B) <-> (T, Q, U)
         if f == 0:
-            tm = cut.synthesis_state_lsel(t_in[0], sel)
+            tm = tr.synthesis_state_lsel(t_in[0], sel)
             z = jnp.zeros_like(tm)
             return jnp.stack([tm, z, z], axis=-3)
         e_in = t_in[1] if f == 1 else z_in
         b_in = t_in[2] if f == 2 else z_in
-        q, u_ = cut.synthesis_spin2_state_lsel(e_in, b_in, sel)
+        q, u_ = tr.synthesis_spin2_state_lsel(e_in, b_in, sel)
         return jnp.stack([jnp.zeros_like(q), q, u_], axis=-3)
+
+    if l_cut_identity is not None:
+        # PNCP: l < l_cut slots are identity-recentered — a FIXED base
+        # component u_base = B s_nc there; blocks must only touch bins at
+        # l >= l_cut (PNCPGibbs guarantees this), so u stays linear in the
+        # per-bin sqrt(D_i) with components disjoint from the base
+        low_ell = (np.arange(lmax + 1) < l_cut_identity).astype(np.float64)
+        lowm = expand_cl_state(jnp.asarray(low_ell, dt), lmax)
+        him = 1.0 - lowm
+        u_base = almxfl_state(s_nc.astype(dt) * lowm, model.bl.astype(dt),
+                              lmax)
+    else:
+        him, u_base = None, None
 
     def u_of(dlcat):
         parts = [jnp.sqrt(expand_cl_state(
             unfold_bins(dlcat[offs[f]: offs[f + 1]],
                         np.asarray(bins_list[f]), lmax), lmax)) * t[f]
             for f in range(nfields)]
-        return jnp.stack(parts, axis=0)
+        u = jnp.stack(parts, axis=0)
+        if u_base is not None:
+            u = u_base + him * u
+        return u
 
     dl0 = jnp.concatenate([d.astype(dt) for d in dl_tuple], axis=-1)
     u0 = u_of(dl0)
     au0 = model.synthesis_cut(u0)
     resid0 = model.d_cut.astype(dt) - au0
-    ll0 = model.data_loglike_cut(u0, au0)
+    au_sp0 = model.synthesis_sp(u0) if has_sp else None
+    rp0 = (model.d_sp.astype(dt) - au_sp0) if has_sp else None
+    ll0 = model.data_loglike_cut(u0, au0, au_sp0)
 
     if use_m:
         mchunks = _prepare_mchunks(singles, single_rows, bins_list)
@@ -603,8 +647,9 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
     def _bigs(dlcat, ll, resid_like, props, lr_vec, akeys, accs, to_resid):
         """Process the multi-bin blocks in sweep order.  ``resid_like`` is
         whatever residual representation the singles phase uses (phi maps
-        or ring half-spectrum); ``to_resid`` maps fresh cut-ring residual
-        maps into that representation."""
+        or ring half-spectrum, plus sparse point values when present);
+        ``to_resid(r_cut, r_sp)`` maps fresh residuals into that
+        representation (r_sp is None for non-sparse models)."""
         for (kind, f, row, gi) in order:
             if kind != "big":
                 continue
@@ -612,13 +657,17 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
             cand = jnp.where(mb > 0, props, dlcat)
             u_c = u_of(cand)
             au_c = model.synthesis_cut(u_c)
-            ll_c = model.data_loglike_cut(u_c, au_c)
+            au_sp_c = model.synthesis_sp(u_c) if has_sp else None
+            ll_c = model.data_loglike_cut(u_c, au_c, au_sp_c)
             qcorr = jnp.sum(mb * lr_vec)
             acc = (jnp.log(jax.random.uniform(akeys[row], dtype=dt))
                    < ll_c - ll + qcorr)
             dlcat = jnp.where(acc, cand, dlcat)
             ll = jnp.where(acc, ll_c, ll)
-            fresh = to_resid(model.d_cut.astype(dt) - au_c)
+            fresh = to_resid(
+                model.d_cut.astype(dt) - au_c,
+                None if au_sp_c is None
+                else model.d_sp.astype(dt) - au_sp_c)
             resid_like = jax.tree.map(
                 lambda new, old: jnp.where(acc, new, old),
                 fresh, resid_like)
@@ -628,15 +677,26 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
     def sweep_phi(carry, k):
         """phi-domain sweep: per-bin pixel maps a_i carried through the
         singles scan (general w; the original rank-one fast path), one
-        memory-bounded chunk at a time."""
-        dlcat, ll, resid = carry
+        memory-bounded chunk at a time.  Sparse-split models additionally
+        carry the hole-point residual rp and add the point corrections to
+        q_i / cwr."""
+        if has_sp:
+            dlcat, ll, resid, rp = carry
+        else:
+            dlcat, ll, resid = carry
+            rp = None
         kp, ka = jax.random.split(k)
         props = propose_truncnorm(kp, dlcat, sigma)
         lr_vec = truncnorm_logratio(dlcat, props, sigma)
         akeys = jax.random.split(ka, nblocks)
         accs = jnp.zeros((nblocks,), dt)
-        dlcat, ll, resid, accs = _bigs(dlcat, ll, resid, props, lr_vec,
-                                       akeys, accs, lambda r: r)
+        if has_sp:
+            dlcat, ll, (resid, rp), accs = _bigs(
+                dlcat, ll, (resid, rp), props, lr_vec, akeys, accs,
+                lambda r, rsp: (r, rsp))
+        else:
+            dlcat, ll, resid, accs = _bigs(dlcat, ll, resid, props, lr_vec,
+                                           akeys, accs, lambda r, rsp: r)
 
         t_seq = t
         for ci, (f, j_idx, seg, gbins, rows) in enumerate(phi_chunks or ()):
@@ -647,21 +707,33 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 # chains on a 271-ring planckish mask); tying the chunk's
                 # synthesis input to the previous chunk's carry bounds
                 # liveness at ~one chunk
-                dlcat, ll, resid, t_seq = jax.lax.optimization_barrier(
-                    (dlcat, ll, resid, t_seq))
-            a_c = _phi_chunk_maps(f, j_idx, seg, t_seq)
+                if has_sp:
+                    dlcat, ll, resid, rp, t_seq = \
+                        jax.lax.optimization_barrier(
+                            (dlcat, ll, resid, rp, t_seq))
+                else:
+                    dlcat, ll, resid, t_seq = jax.lax.optimization_barrier(
+                        (dlcat, ll, resid, t_seq))
+            a_c = _chunk_maps(cut, f, j_idx, seg, t_seq)
             q_c = jnp.sum(w_cut * a_c * a_c, axis=(-3, -2, -1))
             gb = jnp.asarray(gbins)
-            xs = (gb, a_c, q_c, alpha[gb], beta[gb],
+            if has_sp:
+                asp_c = _chunk_maps(spt, f, j_idx, seg, t_seq)
+                q_c = q_c + jnp.sum(w_sp * asp_c * asp_c, axis=(-3, -2, -1))
+            else:
+                asp_c = jnp.zeros(q_c.shape + (0, 0, 0), dt)
+            xs = (gb, a_c, asp_c, q_c, alpha[gb], beta[gb],
                   akeys[jnp.asarray(rows)])
 
             def one(carry, x):
-                dlcat, ll, resid = carry
-                gi, a_i, q_i, al_i, be_i, ak = x
+                dlcat, ll, resid, rp_c = carry
+                gi, a_i, asp_i, q_i, al_i, be_i, ak = x
                 D = dlcat[gi]
                 P = props[gi]
                 gamma = jnp.sqrt(P) - jnp.sqrt(D)
                 cwr = jnp.sum(w_cut * resid * a_i)
+                if has_sp:
+                    cwr = cwr + jnp.sum(w_sp * rp_c * asp_i)
                 dll = (gamma * (al_i - jnp.sqrt(D) * be_i - cwr)
                        + 0.5 * gamma * gamma * (q_i - be_i))
                 acc = (jnp.log(jax.random.uniform(ak, dtype=dt))
@@ -669,13 +741,20 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 gam_eff = jnp.where(acc, gamma, 0.0)
                 dlcat = dlcat.at[gi].set(jnp.where(acc, P, D))
                 resid = resid - gam_eff * a_i
+                if has_sp:
+                    rp_c = rp_c - gam_eff * asp_i
                 ll = ll + jnp.where(acc, dll, 0.0)
-                return (dlcat, ll, resid), acc.astype(dt)
+                return (dlcat, ll, resid, rp_c), acc.astype(dt)
 
-            (dlcat, ll, resid), acc_s = jax.lax.scan(
-                one, (dlcat, ll, resid), xs)
+            rp_in = rp if has_sp else jnp.zeros((), dt)
+            (dlcat, ll, resid, rp_in), acc_s = jax.lax.scan(
+                one, (dlcat, ll, resid, rp_in), xs)
+            if has_sp:
+                rp = rp_in
             accs = accs.at[jnp.asarray(rows)].set(acc_s)
 
+        if has_sp:
+            return (dlcat, ll, resid, rp), accs
         return (dlcat, ll, resid), accs
 
     def sweep_m(carry, k):
@@ -688,15 +767,24 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         itself is a scalar scan: cwr_i = rho_i - sum_{j<i} gamma_j G_ij.
         No per-bin pixel maps are materialized or carried, so memory stays
         O(chunk) and the azimuthal iFFT disappears."""
-        dlcat, ll, Rc, Rs = carry
+        if has_sp:
+            dlcat, ll, Rc, Rs, Rp = carry
+        else:
+            dlcat, ll, Rc, Rs = carry
+            Rp = None
         kp, ka = jax.random.split(k)
         props = propose_truncnorm(kp, dlcat, sigma)
         lr_vec = truncnorm_logratio(dlcat, props, sigma)
         akeys = jax.random.split(ka, nblocks)
         accs = jnp.zeros((nblocks,), dt)
-        dlcat, ll, (Rc, Rs), accs = _bigs(
-            dlcat, ll, (Rc, Rs), props, lr_vec, akeys, accs,
-            lambda r: cut.ring_cs_of_maps(r))
+        if has_sp:
+            dlcat, ll, ((Rc, Rs), Rp), accs = _bigs(
+                dlcat, ll, ((Rc, Rs), Rp), props, lr_vec, akeys, accs,
+                lambda r, rsp: (cut.ring_cs_of_maps(r), rsp))
+        else:
+            dlcat, ll, (Rc, Rs), accs = _bigs(
+                dlcat, ll, (Rc, Rs), props, lr_vec, akeys, accs,
+                lambda r, rsp: cut.ring_cs_of_maps(r))
         # pre-draw every single's accept uniform in ONE batched op
         # (bit-identical to per-step draws from the same keys); the scalar
         # scan then runs arithmetic only
@@ -707,15 +795,22 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
             comps = _chunk_comps(model, f)
             c0, c1 = comps[0], comps[-1] + 1
             kind_f, g_f, sp_f, sm_f = mgrids[f]
-            if ci > 0 and not use_t:
+            if ci > 0 and (not use_t or has_sp):
                 # sequence the chunks (see sweep_phi): the coefficient
                 # engine's per-chunk (nb, ncomp, ncut, L) ring-coefficient
                 # planes otherwise ALL get hoisted live by XLA (measured
                 # 26 GB at 128 chains on the HEALPix 153-row belt); the
                 # table engine's per-chunk tensors are small and stay
-                # unsequenced for scheduling freedom
-                dlcat, ll, Rc, Rs, g_f = jax.lax.optimization_barrier(
-                    (dlcat, ll, Rc, Rs, g_f))
+                # unsequenced for scheduling freedom — except with sparse
+                # holes, whose per-chunk (nb, ncomp, r_sp, p) value stacks
+                # need the same liveness bound
+                if has_sp:
+                    dlcat, ll, Rc, Rs, Rp, g_f = \
+                        jax.lax.optimization_barrier(
+                            (dlcat, ll, Rc, Rs, Rp, g_f))
+                else:
+                    dlcat, ll, Rc, Rs, g_f = jax.lax.optimization_barrier(
+                        (dlcat, ll, Rc, Rs, g_f))
             mg_seq = dict(mgrids)
             mg_seq[f] = (kind_f, g_f, sp_f, sm_f)
             if use_t:
@@ -851,6 +946,25 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                                    preferred_element_type=dt)
                     rho = jnp.einsum("...l,lb->...b", rho_l, segj,
                                      preferred_element_type=dt)
+                if has_sp:
+                    # sparse-hole corrections: per-bin values at the hole
+                    # points from the SAME hoisted grids, reduced straight
+                    # to the chunk Gram / rho (no per-bin planes carried)
+                    if kind == "s0":
+                        a_sp = spt.values_lsel_spin0_grids(
+                            g_f, j_idx, seg)[..., None, :, :]
+                    else:
+                        _kg2, gmat2, sgp2, sgm2 = mg_seq[f]
+                        qsp, usp = spt.values_lsel_spin2_grids(
+                            gmat2, sgp2, sgm2, j_idx, seg)
+                        a_sp = jnp.stack([qsp, usp], axis=-3)
+                    wspf = w_sp[c0:c1]
+                    G = G + jnp.einsum("...icrp,crp,...jcrp->...ij",
+                                       a_sp, wspf, a_sp,
+                                       preferred_element_type=dt)
+                    rho = rho + jnp.einsum("...icrp,...crp->...i", a_sp,
+                                           wspf * Rp[..., c0:c1, :, :],
+                                           preferred_element_type=dt)
                 q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
             else:
                 Cc, Cs, comps = _chunk_ring_coefs(model, mg_seq, f, j_idx,
@@ -953,6 +1067,11 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                                          preferred_element_type=dt)
                         Rc = Rc.at[..., cq, :, L - 1].add(-nphi_f * FnQ)
                         Rc = Rc.at[..., cu, :, L - 1].add(-nphi_f * FnU)
+                if has_sp:
+                    # hole-point residual: rp <- rp - sum_i gamma_i a_sp_i
+                    Rp = Rp.at[..., c0:c1, :, :].add(
+                        -jnp.einsum("...i,...icrp->...crp", gacc, a_sp,
+                                    preferred_element_type=dt))
             else:
                 # Rc(a) = pwc Cc_raw = sqrt(pwc/w) (Cc sc_c-scaled); w = 0
                 # rings never feed any downstream w-weighted product, so
@@ -968,15 +1087,21 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                 Rc = Rc.at[..., c0:c1, :, :].add(-dRc)
                 Rs = Rs.at[..., c0:c1, :, :].add(-dRs)
 
+        if has_sp:
+            return (dlcat, ll, Rc, Rs, Rp), accs
         return (dlcat, ll, Rc, Rs), accs
 
     if use_m:
         Rc0, Rs0 = cut.ring_cs_of_maps(resid0)
+        carry0 = ((dl0, ll0, Rc0, Rs0, rp0) if has_sp
+                  else (dl0, ll0, Rc0, Rs0))
         carry, accs = jax.lax.scan(
-            sweep_m, (dl0, ll0, Rc0, Rs0), jax.random.split(key, n_iter))
+            sweep_m, carry0, jax.random.split(key, n_iter))
     else:
+        carry0 = ((dl0, ll0, resid0, rp0) if has_sp
+                  else (dl0, ll0, resid0))
         carry, accs = jax.lax.scan(
-            sweep_phi, (dl0, ll0, resid0), jax.random.split(key, n_iter))
+            sweep_phi, carry0, jax.random.split(key, n_iter))
     dlcat, ll = carry[0], carry[1]
     acc_mean = jnp.mean(accs, axis=0)
     out_acc, i0 = [], 0

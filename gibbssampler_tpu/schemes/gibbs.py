@@ -404,7 +404,8 @@ class PNCPGibbs(GibbsScheme):
 
     def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
                  l_cut: int, n_iter_mh: int = 1, all_sph: bool = False,
-                 d_alm: Optional[jnp.ndarray] = None, **kw):
+                 d_alm: Optional[jnp.ndarray] = None, mh_fast: str = "auto",
+                 **kw):
         super().__init__(model, bins_list, **kw)
         bins_list = self.bins_list
         self.l_cut = l_cut
@@ -424,6 +425,16 @@ class PNCPGibbs(GibbsScheme):
         self.prop_sigma_list = tuple(jnp.asarray(p) for p in prop_sigma_list)
         self.n_iter_mh = n_iter_mh
         self.all_sph = all_sph
+        self.mh_fast = mh_fast
+        self._rebind()
+
+    def _rebind(self):
+        super()._rebind()
+        if not hasattr(self, "all_sph") or not hasattr(self, "mh_fast"):
+            return  # dataclass __post_init__ call; __init__ rebinds again
+        self._use_cut_mh = (self.mh_fast != "off"
+                            and _cut_mh_eligible(self.model, self.blocks_list,
+                                                 self.all_sph))
 
     def _var_high(self, dl_tuple, dtype):
         """Prior variance with 1 on valid l < l_cut slots (identity
@@ -450,17 +461,30 @@ class PNCPGibbs(GibbsScheme):
             jnp.where(var_h > 0, var_h, 1.0)), 0.0)
         s_pnc = s * inv_sqrt
 
-        def pncp_like(dl_tuple, s_pnc_):
-            var = self._var_high(dl_tuple, dt)
-            s_full = jnp.sqrt(var) * s_pnc_
-            if self.model.has_cut:
-                return self.model.data_loglike_cut(self.model.beam(s_full))
-            resid = self.model.d - self.model.forward(s_full)
-            return -0.5 * jnp.sum(self.model.noise.inv_noise * resid * resid)
+        if self._use_cut_mh:
+            # rank-one fast path with identity re-centering below l_cut
+            # (u_base support is disjoint from every high-l block)
+            dl, mh_info = cls_mod.nc_cls_sample_cut(
+                k3, dl, s_pnc, self.model, self.bins_list,
+                self.blocks_list, self.prop_sigma_list,
+                n_iter=self.n_iter_mh,
+                mdomain=(getattr(self, "mh_fast", "auto") != "phi"),
+                l_cut_identity=self.l_cut)
+        else:
+            def pncp_like(dl_tuple, s_pnc_):
+                var = self._var_high(dl_tuple, dt)
+                s_full = jnp.sqrt(var) * s_pnc_
+                if self.model.has_cut:
+                    return self.model.data_loglike_cut(
+                        self.model.beam(s_full))
+                resid = self.model.d - self.model.forward(s_full)
+                return -0.5 * jnp.sum(self.model.noise.inv_noise
+                                      * resid * resid)
 
-        dl, mh_info = cls_mod.nc_cls_sample(
-            k3, dl, s_pnc, pncp_like, self.bins_list,
-            self.blocks_list, self.prop_sigma_list, n_iter=self.n_iter_mh)
+            dl, mh_info = cls_mod.nc_cls_sample(
+                k3, dl, s_pnc, pncp_like, self.bins_list,
+                self.blocks_list, self.prop_sigma_list,
+                n_iter=self.n_iter_mh)
         s = jnp.sqrt(self._var_high(dl, dt)) * s_pnc
         info = {"dl": dl, "cr_accept": cr_info.accept,
                 "mh_accept": mh_info.accept}
@@ -474,7 +498,8 @@ for _cls, _extra_arrays, _extra_static in (
     (ASISGibbs, ("prop_sigma_list", "d_alm"),
      ("blocks_list", "n_iter_mh", "all_sph", "mh_fast")),
     (PNCPGibbs, ("prop_sigma_list",),
-     ("blocks_list", "n_iter_mh", "all_sph", "l_cut", "cut_bin")),
+     ("blocks_list", "n_iter_mh", "all_sph", "l_cut", "cut_bin",
+      "mh_fast")),
 ):
     register_arrays_pytree(
         _cls,
