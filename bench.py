@@ -45,10 +45,15 @@ FFT_MODE = os.environ.get("BENCH_FFT_MODE", "matmul")
 RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "0")))
 # sampling scheme: "asis" (default — the reference's flagship ASIS run:
 # overrelaxed aux CR + non-centered blocked-MH C_ell with the Planck BB
-# binning/blocking, main_polarization.py:124-126, config.py:44-55) or
-# "centered" (aux+MALA CR; the fastest-mixing scheme at this noise level,
-# kept reachable via BENCH_SCHEME=centered)
+# binning/blocking, main_polarization.py:124-126, config.py:44-55),
+# "centered" (aux+MALA CR; the fastest-mixing scheme at this noise level)
+# or "pncp" (partially non-centered at BENCH_LCUT, default 300 — centered
+# conjugate draws below l_cut, non-centered blocked MH above; the
+# reference's PNCP.py idea, SURVEY.md 2.4, picked per the round-4 per-bin
+# ESS analysis: centered dominates the signal-dominated bins, NC moves win
+# the noise-dominated BB tail)
 SCHEME = os.environ.get("BENCH_SCHEME", "asis")
+LCUT = int(os.environ.get("BENCH_LCUT", "300"))
 # 300 iterations: ESS estimators on shorter chains truncate the
 # autocorrelation sum and overestimate ~2x (measured, docs/PERF.md r4)
 N_ITER = int(os.environ.get("BENCH_ITERS", "300"))
@@ -84,11 +89,21 @@ if BASELINE_MODE:
 # (BASELINE_MEASURED.json, produced by BENCH_BASELINE=1 on this machine),
 # use min(measured, estimate): the baseline is never allowed to be slower
 # than the reference's own reported numbers would imply.
-if SCHEME == "asis":
+BENCH_CR = os.environ.get("BENCH_CR", "aux_mala")
+if SCHEME in ("asis", "pncp"):
     _ngibbs = int(os.environ.get("BENCH_NGIBBS", "1"))
     _nmh = int(os.environ.get("BENCH_NITER_MH", "1"))
     _nblocks = 136 if LMAX >= 396 else 12
-    REF_SEC_PER_ITER = 0.5 * (2 + 3 * _ngibbs + _nblocks * _nmh)
+    if BENCH_CR == "overrelax":
+        # overrelaxed CR: 1 + 3 transforms per sweep (CenteredGibbs.py:
+        # 733-825) + one full TQU synthesis per MH block likelihood
+        _cr_transforms = 2 + 3 * _ngibbs
+    else:
+        # "Composition !" aux+MALA (CenteredGibbs.py:833-836): 2 transforms
+        # per aux sweep (:698-719) + ~4 for the MALA gradient/log-target
+        # pair (:505-559)
+        _cr_transforms = 2 * _ngibbs + 4
+    REF_SEC_PER_ITER = 0.5 * (_cr_transforms + _nblocks * _nmh)
 else:
     REF_SEC_PER_ITER = 3.0
 _bm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -194,16 +209,20 @@ def build():
         from gibbssampler_tpu.ops import with_cut_decomposition
         model = with_cut_decomposition(model)
         log(f"cut decomposition: {model.cut_sht.grid.nrings} of "
-            f"{sht.nrings} rings")
+            f"{sht.nrings} rings"
+            + (f" + sparse holes {model.sp_sht.nrows}x{model.sp_sht.p} "
+               f"({int(np.asarray(model.sp_sht.valid).sum())} px)"
+               if model.has_sparse else ""))
 
-    if SCHEME == "asis":
+    if SCHEME in ("asis", "pncp"):
         # the reference's flagship ASIS configuration
         # (main_polarization.py:124-126): overrelaxed aux CR
         # (gibbs_cr + overrelaxation -> overrelaxation_sampler,
         # CenteredGibbs.py:828-830) + NC blocked MH with the Planck bins
         # and the EE one-block / BB big-block + per-bin blocking
-        # (config.py:44-55)
-        from gibbssampler_tpu.schemes import ASISGibbs
+        # (config.py:44-55).  "pncp" shares the bins/noise setup but
+        # samples only l >= BENCH_LCUT non-centered (PNCPGibbs).
+        from gibbssampler_tpu.schemes import ASISGibbs, PNCPGibbs
         from gibbssampler_tpu.parallel.adapt import analytic_proposal_sigma
         bins_ee = np.arange(2, LMAX + 2)
         if LMAX >= 396:
@@ -253,7 +272,7 @@ def build():
         # correlation with ~1% fresh noise per conditional, so D_ell
         # (quadratic in s) decorrelates very slowly; aux_mala mixes ~3x
         # better per iteration at the same step cost.
-        cr = os.environ.get("BENCH_CR", "aux_mala")
+        cr = BENCH_CR
         if cr == "overrelax":
             cr_opts = {"alpha": -0.995,
                        # overrelaxed sweeps per CR step; the reference
@@ -262,11 +281,25 @@ def build():
         else:
             cr_opts = {"n_gibbs": int(os.environ.get("BENCH_NGIBBS", "1")),
                        "tau": float(os.environ.get("BENCH_TAU", "0.02"))}
-        scheme = ASISGibbs(model, [bins_ee, bins_bb],
-                           [blocks_ee, blocks_bb], sig,
-                           n_iter_mh=int(os.environ.get("BENCH_NITER_MH",
-                                                        "1")),
-                           cr_method=cr, cr_options=cr_opts)
+        n_mh = int(os.environ.get("BENCH_NITER_MH", "1"))
+        if SCHEME == "pncp":
+            # blocks above l_cut only: EE one big block, BB per-bin
+            # singles (bigs-before-singles keeps the fast path eligible)
+            cb_ee = int(np.searchsorted(bins_ee, LCUT))
+            cb_bb = int(np.searchsorted(bins_bb, LCUT))
+            if bins_ee[cb_ee] != LCUT or bins_bb[cb_bb] != LCUT:
+                raise SystemExit(f"BENCH_LCUT={LCUT} must be a bin boundary")
+            blocks_ee = [(cb_ee, nb_ee)]
+            blocks_bb = [(i, i + 1) for i in range(cb_bb, nb_bb)]
+            scheme = PNCPGibbs(model, [bins_ee, bins_bb],
+                               [blocks_ee, blocks_bb], sig, l_cut=LCUT,
+                               n_iter_mh=n_mh, cr_method=cr,
+                               cr_options=cr_opts)
+        else:
+            scheme = ASISGibbs(model, [bins_ee, bins_bb],
+                               [blocks_ee, blocks_bb], sig,
+                               n_iter_mh=n_mh,
+                               cr_method=cr, cr_options=cr_opts)
         return scheme, (dl_ee, dl_bb, (bins_ee, bins_bb))
     # Planck-style binning: unit bins to l=50, then widening (config.py:45-46)
     edges = list(range(2, 51))
@@ -403,16 +436,28 @@ def main():
     log(f"median pooled ESS {ess_med:.1f} over {wall:.1f}s; per-chain "
         f"ESS/iter {per_chain_ess_per_iter:.4f}; "
         f"single-process CPU baseline est {baseline:.5f} ESS/s")
+    scheme_label = {
+        "asis": f"flagship ASIS: {BENCH_CR} CR + Planck-blocked NC MH",
+        "pncp": f"PNCP l_cut={LCUT}: {BENCH_CR} CR, NC MH above l_cut",
+        "centered": "centered aux+MALA CR",
+    }.get(SCHEME, SCHEME)
     print(json.dumps({
         "metric": f"Cl-chain median pooled ESS/s, polarized masked Gibbs "
-                  f"({f'flagship ASIS: {os.environ.get("BENCH_CR", "aux_mala")} CR + Planck-blocked NC MH'
-                     if SCHEME == 'asis' else 'centered aux+MALA CR'}), "
+                  f"({scheme_label}), "
                   f"lmax={LMAX}, grid={GRID}, {NCHAINS} "
                   f"chains on one chip; vs_baseline = vs one single-chain "
                   f"CPU reference process at ~{REF_SEC_PER_ITER:.0f}s/iter",
         "value": round(value, 3),
         "unit": "ESS/s",
         "vs_baseline": round(value / baseline, 1) if baseline > 0 else None,
+        # protocol annotation (VERDICT r4 weak #2: make BENCH rows
+        # self-describing so cross-round comparisons are reconstructable)
+        "scheme": SCHEME,
+        "protocol": {"cr": BENCH_CR, "n_iter": total, "nchains": NCHAINS,
+                     "mask": MASK_KIND, "grid": GRID, "lmax": LMAX,
+                     "ms_per_iter": round(wall / total * 1e3, 1),
+                     "per_chain_ess_per_iter":
+                         round(per_chain_ess_per_iter, 5)},
     }))
 
 

@@ -35,14 +35,26 @@ from .legendre import legendre_table, spin2_lambda_tables
 __all__ = ["PointSHT", "group_points_by_ring"]
 
 
-def group_points_by_ring(ring_idx, theta, phi, flat_idx):
+def group_points_by_ring(ring_idx, theta, phi, flat_idx, max_width=None):
     """Group a flat point list by ring and pad to a rectangle.
 
     ring_idx, theta, phi, flat_idx: (npts,) per-point arrays (ring label,
     colatitude, absolute azimuth, index into the caller's flat pixel
     layout).  Returns (theta_rows (nrows,), phi_pad (nrows, p),
     valid (nrows, p), gather_idx (nrows, p) int64 — flat_idx per slot with
-    0 on padding; mask with ``valid`` after gathering)."""
+    0 on padding; mask with ``valid`` after gathering).
+
+    ``max_width`` (env GS_SPARSE_PMAX, default 64) caps the padded width:
+    a ring holding more points is split into several virtual rows sharing
+    its colatitude.  Without the cap a single dense ring (a hole crossing
+    a polar ring covers ~1/sin(theta) pixels — measured p = 667 at
+    lmax = 512 with 0.35 deg holes) would pad EVERY row's trig tables and
+    azimuthal matmuls to its width (~90x waste); with it the padded slot
+    count stays within a few x of the true point count while the Legendre
+    stage grows only by the handful of duplicated rows."""
+    import os as _os
+    if max_width is None:
+        max_width = int(_os.environ.get("GS_SPARSE_PMAX", "64"))
     ring_idx = np.asarray(ring_idx)
     order = np.argsort(ring_idx, kind="stable")
     ring_idx = ring_idx[order]
@@ -51,15 +63,19 @@ def group_points_by_ring(ring_idx, theta, phi, flat_idx):
     flat_idx = np.asarray(flat_idx, np.int64)[order]
     rows, starts, counts = np.unique(ring_idx, return_index=True,
                                      return_counts=True)
-    nrows = rows.size
-    p = int(counts.max())
+    segs = []                      # (theta, start, count) virtual rows
+    for k in range(rows.size):
+        s, c = int(starts[k]), int(counts[k])
+        for s0 in range(s, s + c, max_width):
+            segs.append((theta[s], s0, min(max_width, s + c - s0)))
+    nrows = len(segs)
+    p = max(c for (_t, _s, c) in segs)
     phi_pad = np.zeros((nrows, p))
     valid = np.zeros((nrows, p))
     gidx = np.zeros((nrows, p), dtype=np.int64)
     theta_rows = np.empty(nrows)
-    for k in range(nrows):
-        s, c = starts[k], counts[k]
-        theta_rows[k] = theta[s]
+    for k, (th, s, c) in enumerate(segs):
+        theta_rows[k] = th
         phi_pad[k, :c] = phi[s: s + c]
         valid[k, :c] = 1.0
         gidx[k, :c] = flat_idx[s: s + c]

@@ -286,7 +286,11 @@ def test_phi_engine_holey_mask_matches_direct(monkeypatch):
                                 dl_fields=fields, noise_sigma2=0.5,
                                 fwhm_radians=0.05, mask=mask,
                                 dtype=jnp.float64)
-    mc = with_cut_decomposition(model)
+    # pin the NON-split decomposition: this test exercises the chunked
+    # phi-domain fallback on a genuinely azimuthally non-uniform w_cut
+    # (the sparse-split path, which round 5 made the default for such
+    # masks, is covered by tests/test_sparse.py)
+    mc = with_cut_decomposition(model, sparse_split=False)
     assert not mc.cut_w_uniform
     assert not cs._mdomain_eligible(mc)
     monkeypatch.setattr(cs, "_PHI_CHUNK", 3)
