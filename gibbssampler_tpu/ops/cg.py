@@ -42,6 +42,9 @@ def cg_solve(
     maxiter: int = 4000,
     ndim_sys: int = 2,
     precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    apply_dtype=None,
+    operator_hi: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    replace_every: int = 50,
 ):
     """Solve operator(x) = b for SPD ``operator``.
 
@@ -58,14 +61,27 @@ def cg_solve(
          overrides precond_diag
     tol : relative tolerance on ||r|| / ||b|| per batch element.
          Precision note (measured, tools/cg_scale.py): at production scale
-         (lmax=512 masked polarized sky) fp32 CG STAGNATES before
+         (lmax=512 masked polarized sky) PLAIN fp32 CG STAGNATES before
          ||r||/||b|| = 1e-5 (4000 iters, no convergence) while fp64
-         converges in ~200-400 iterations — run production-tolerance
-         CG/RJPO solves in float64 (supported on TPU via emulation; with
-         the cut decomposition the fp64 tables stay small).  fp32 is fine
-         at the looser tolerances and small lmax the tests use.
+         converges in ~200-400 iterations.  The mixed scheme below (fp32
+         mat-vecs + fp64 vectors/recurrences + periodic true-residual
+         replacement) recovers fp64-class convergence at ~fp32 apply cost
+         — the production remedy; full fp64 (TPU emulation) remains the
+         reference-parity fallback.
     maxiter : iteration cap (reference budget: 4000)
     ndim_sys : how many trailing axes form one linear system
+    apply_dtype : run ``operator`` at this LOWER dtype (cast in/out per
+         apply) while keeping x/r/p and all recurrence scalars at
+         ``b.dtype`` — mixed-precision CG.  The hot mat-vec (two SHTs)
+         then runs at fp32 MXU rate instead of fp64 emulation.
+    operator_hi : optional full-precision operator used only for the
+         periodic residual replacement (defaults to the low-precision
+         apply, which still removes recurrence drift, the dominant fp32
+         failure mode).
+    replace_every : with ``apply_dtype``: every K iterations recompute the
+         TRUE residual r = b - Q x and restart the search direction
+         (p = z) — van der Vorst-style residual replacement; removes the
+         accumulated recurrence error that makes plain fp32 stagnate.
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     if precond is not None:
@@ -75,7 +91,19 @@ def cg_solve(
     else:
         minv = lambda v: v
 
-    r = b - operator(x)
+    hi = b.dtype
+    lo = None if apply_dtype is None else jnp.dtype(apply_dtype)
+    if lo is not None and lo == hi:
+        lo = None
+
+    def apply_op(v):
+        if lo is None:
+            return operator(v)
+        return operator(v.astype(lo)).astype(hi)
+
+    rep_op = operator_hi if operator_hi is not None else apply_op
+
+    r = b - rep_op(x)
     z = minv(r)
     p = z
     rz = _batch_dot(r, z, ndim_sys)
@@ -89,12 +117,31 @@ def cg_solve(
 
     def body(state):
         i, x, r, p, rz = state
-        qp = operator(p)
+        qp = apply_op(p)
         denom = _batch_dot(p, qp, ndim_sys)
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
         alpha_b = alpha[(...,) + (None,) * ndim_sys]
         x = x + alpha_b * p
         r = r - alpha_b * qp
+
+        if lo is not None and replace_every:
+            def repl(xr):
+                x_, r_ = xr
+                rr = b - rep_op(x_)
+                zz = minv(rr)
+                return rr, zz, _batch_dot(rr, zz, ndim_sys)
+
+            def norepl(xr):
+                _x, r_ = xr
+                zz = minv(r_)
+                rzn = _batch_dot(r_, zz, ndim_sys)
+                beta = rzn / jnp.where(rz == 0, 1.0, rz)
+                return r_, zz + beta[(...,) + (None,) * ndim_sys] * p, rzn
+
+            r, p, rz_new = lax.cond((i + 1) % replace_every == 0,
+                                    repl, norepl, (x, r))
+            return i + 1, x, r, p, rz_new
+
         z = minv(r)
         rz_new = _batch_dot(r, z, ndim_sys)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)

@@ -619,6 +619,8 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
     if use_m:
         mchunks = _prepare_mchunks(singles, single_rows, bins_list)
         mgrids = _prepare_mgrids(model, t, mchunks)
+        if has_sp:
+            w_sp_flat = spt.flat_of(w_sp)        # (nmaps, nslots)
         pwc, pws = cut.ring_dot_weights()
         w_ring = w_cut[..., 0]                      # (nfmaps, ncut) uniform
         # table-domain engine: needs one shared mask across map
@@ -778,9 +780,10 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         akeys = jax.random.split(ka, nblocks)
         accs = jnp.zeros((nblocks,), dt)
         if has_sp:
+            # Rp is carried FLAT (nmaps, nslots) in this sweep
             dlcat, ll, ((Rc, Rs), Rp), accs = _bigs(
                 dlcat, ll, ((Rc, Rs), Rp), props, lr_vec, akeys, accs,
-                lambda r, rsp: (cut.ring_cs_of_maps(r), rsp))
+                lambda r, rsp: (cut.ring_cs_of_maps(r), spt.flat_of(rsp)))
         else:
             dlcat, ll, (Rc, Rs), accs = _bigs(
                 dlcat, ll, (Rc, Rs), props, lr_vec, akeys, accs,
@@ -947,23 +950,24 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                     rho = jnp.einsum("...l,lb->...b", rho_l, segj,
                                      preferred_element_type=dt)
                 if has_sp:
-                    # sparse-hole corrections: per-bin values at the hole
-                    # points from the SAME hoisted grids, reduced straight
-                    # to the chunk Gram / rho (no per-bin planes carried)
+                    # sparse-hole corrections on the FLAT slot axis: the
+                    # per-bin hole values come from chain-independent
+                    # slot-expanded lambda tables contracted against the
+                    # already-gathered grid columns — no per-chain
+                    # (row, L) planes and no padding waste
                     if kind == "s0":
-                        a_sp = spt.values_lsel_spin0_grids(
-                            g_f, j_idx, seg)[..., None, :, :]
+                        a_sp = spt.values_flat_spin0_gsel(
+                            gsel, j_idx, seg)[..., None, :]
                     else:
-                        _kg2, gmat2, sgp2, sgm2 = mg_seq[f]
-                        qsp, usp = spt.values_lsel_spin2_grids(
-                            gmat2, sgp2, sgm2, j_idx, seg)
-                        a_sp = jnp.stack([qsp, usp], axis=-3)
-                    wspf = w_sp[c0:c1]
-                    G = G + jnp.einsum("...icrp,crp,...jcrp->...ij",
+                        qsp, usp = spt.values_flat_spin2_gsel(
+                            gsel, sp, sm, j_idx, seg)
+                        a_sp = jnp.stack([qsp, usp], axis=-2)
+                    wspf = w_sp_flat[c0:c1]
+                    G = G + jnp.einsum("...ics,cs,...jcs->...ij",
                                        a_sp, wspf, a_sp,
                                        preferred_element_type=dt)
-                    rho = rho + jnp.einsum("...icrp,...crp->...i", a_sp,
-                                           wspf * Rp[..., c0:c1, :, :],
+                    rho = rho + jnp.einsum("...ics,...cs->...i", a_sp,
+                                           wspf * Rp[..., c0:c1, :],
                                            preferred_element_type=dt)
                 q_c = jnp.diagonal(G, axis1=-2, axis2=-1)
             else:
@@ -1069,8 +1073,8 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
                         Rc = Rc.at[..., cu, :, L - 1].add(-nphi_f * FnU)
                 if has_sp:
                     # hole-point residual: rp <- rp - sum_i gamma_i a_sp_i
-                    Rp = Rp.at[..., c0:c1, :, :].add(
-                        -jnp.einsum("...i,...icrp->...crp", gacc, a_sp,
+                    Rp = Rp.at[..., c0:c1, :].add(
+                        -jnp.einsum("...i,...ics->...cs", gacc, a_sp,
                                     preferred_element_type=dt))
             else:
                 # Rc(a) = pwc Cc_raw = sqrt(pwc/w) (Cc sc_c-scaled); w = 0
@@ -1093,7 +1097,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
     if use_m:
         Rc0, Rs0 = cut.ring_cs_of_maps(resid0)
-        carry0 = ((dl0, ll0, Rc0, Rs0, rp0) if has_sp
+        carry0 = ((dl0, ll0, Rc0, Rs0, spt.flat_of(rp0)) if has_sp
                   else (dl0, ll0, Rc0, Rs0))
         carry, accs = jax.lax.scan(
             sweep_m, carry0, jax.random.split(key, n_iter))

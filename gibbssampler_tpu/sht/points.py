@@ -117,6 +117,18 @@ class PointSHT(LegendreCore):
         if spin2:
             lp, lm_ = spin2_lambda_tables(lmax, theta)
             self._build_spin2_tables(lp, lm_)
+        # flat-slot view: the REAL points as one unpadded axis.  The
+        # blocked-MH per-bin corrections use it — their per-chunk tensors
+        # then scale with the true point count instead of nrows x p, and
+        # no (row, L) ring-Fourier planes are ever materialized per chain.
+        vr, vc = np.nonzero(valid_np)
+        self.nslots = int(vr.size)
+        self.slot_row = jnp.asarray(vr, dtype=jnp.int32)
+        self.slot_col = jnp.asarray(vc, dtype=jnp.int32)
+        phi_flat = phi[vr, vc]
+        angF = np.outer(np.arange(L), phi_flat)            # (L, S)
+        self.cosF = jnp.asarray(np.cos(angF), dtype=self.table_dtype)
+        self.sinF = jnp.asarray(np.sin(angF), dtype=self.table_dtype)
 
     # -- azimuthal point stage (exact-transpose pair) ----------------------
 
@@ -215,6 +227,80 @@ class PointSHT(LegendreCore):
         Bim = sign_p * Fp[..., 1, :, :] - Fm[..., 1, :, :] * pos_p
         return self._to_points(Are, -Aim), self._to_points(Bim, Bre)
 
+    # -- flat-slot per-bin values (no padding; chain-independent tables) ----
+
+    def flat_of(self, padded: jnp.ndarray) -> jnp.ndarray:
+        """(..., nrows, p) padded point values -> (..., nslots) flat."""
+        return padded[..., self.slot_row, self.slot_col]
+
+    def _lsel_lam(self, lam, j_idx):
+        """Gather the wedge m-block table stack into one dense (L, J, nr)
+        array over the static selected ells (zero where m > ell)."""
+        j_idx = np.asarray(j_idx)
+        outs = []
+        for (m0, m1), blk in zip(self._msplit(), lam):
+            jrel = j_idx - m0
+            ok = jrel >= 0
+            lamj = jnp.take(blk, jnp.asarray(np.where(ok, jrel, 0)), axis=1)
+            if not ok.all():
+                lamj = lamj * jnp.asarray(ok.astype(np.float64),
+                                          lamj.dtype)[None, :, None]
+            outs.append(lamj)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def _flat_fold(self, v, seg):
+        if seg is None:
+            return v
+        return jnp.einsum("...js,jb->...bs", v,
+                          jnp.asarray(seg, v.dtype),
+                          preferred_element_type=self.dtype).astype(v.dtype)
+
+    def values_flat_spin0_gsel(self, gsel, j_idx, seg):
+        """Per-bin ell-selected spin-0 values on the FLAT slot axis from a
+        pre-gathered grid selection gsel (..., 2, L, J): (..., nb, S).
+
+        The route never builds per-chain (row, L) planes: the thin
+        ell-gathered lambda table is expanded to slots (chain-independent,
+        ~J x S floats) and contracted against the selected grid columns."""
+        lamj = self._lsel_lam(self.lam0, j_idx)            # (L, J, r)
+        lam_s = jnp.take(lamj, self.slot_row, axis=2)      # (L, J, S)
+        Ec = lam_s * self.cosF[:, None, :]
+        Es = lam_s * self.sinF[:, None, :]
+        cm = self._cm().astype(gsel.dtype)
+        g_re = (gsel[..., 0, :, :] * cm[:, None]).astype(self.table_dtype)
+        g_im = (gsel[..., 1, :, :] * cm[:, None]).astype(self.table_dtype)
+        v = (jnp.einsum("...mj,mjs->...js", g_re, Ec,
+                        preferred_element_type=self.dtype)
+             - jnp.einsum("...mj,mjs->...js", g_im, Es,
+                          preferred_element_type=self.dtype))
+        return self._flat_fold(v.astype(self.dtype), seg)
+
+    def values_flat_spin2_gsel(self, gsel, sign_p, sign_m, j_idx, seg):
+        """Per-bin ell-selected spin-2 values on the flat slot axis from a
+        pre-gathered single-field grid selection (..., 2, L, J) with its
+        (sign_p, sign_m) from SHT.lsel_grid_spin2_single:
+        -> (Q, U) each (..., nb, S)."""
+        self._require_spin2()
+        lamp = self._lsel_lam(self.lam_p2, j_idx)          # (L, J, r)
+        lamm = self._lsel_lam(self.lam_m2, j_idx)
+        pos = self._pos().astype(lamp.dtype)[:, None, None]
+        La = sign_p * lamp + sign_m * pos * lamm
+        Lb = sign_p * lamp - sign_m * pos * lamm
+        La_s = jnp.take(La, self.slot_row, axis=2)         # (L, J, S)
+        Lb_s = jnp.take(Lb, self.slot_row, axis=2)
+        Eac = La_s * self.cosF[:, None, :]
+        Eas = La_s * self.sinF[:, None, :]
+        Ebc = Lb_s * self.cosF[:, None, :]
+        Ebs = Lb_s * self.sinF[:, None, :]
+        g_re = gsel[..., 0, :, :].astype(self.table_dtype)
+        g_im = gsel[..., 1, :, :].astype(self.table_dtype)
+        e = lambda g, E: jnp.einsum("...mj,mjs->...js", g, E,
+                                    preferred_element_type=self.dtype
+                                    ).astype(self.dtype)
+        q = e(g_re, Eac) - e(g_im, Eas)
+        u = e(g_im, Ebc) + e(g_re, Ebs)
+        return self._flat_fold(q, seg), self._flat_fold(u, seg)
+
     def synthesis_state_lsel(self, x: jnp.ndarray, sel) -> jnp.ndarray:
         """A applied to each ell-subset of x (sel (nb, L) 0/1 selectors)
         -> (..., nb, nr, p) values (mirror of SHT.synthesis_state_lsel)."""
@@ -244,7 +330,8 @@ class PointSHT(LegendreCore):
 register_arrays_pytree(
     PointSHT,
     array_fields=("lam0", "lam_p2", "lam_m2", "lam_w", "lam_x", "cosT",
-                  "sinT", "valid", "par_sign", "pack_in", "pack_out"),
+                  "sinT", "valid", "cosF", "sinF", "slot_row", "slot_col",
+                  "par_sign", "pack_in", "pack_out"),
     static_fields=("lmax", "dtype", "table_dtype", "m_block", "ring_split",
-                   "nrows", "p", "nrh", "has_mid"),
+                   "nrows", "p", "nslots", "nrh", "has_mid"),
 )

@@ -44,7 +44,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(band_deg):
+def build(band_deg, dtype=None):
     import jax
     import jax.numpy as jnp
     from gibbssampler_tpu.inference import example_dl, simulate_dataset
@@ -60,7 +60,7 @@ def build(band_deg):
         jax.random.PRNGKey(0), LMAX, spin=2,
         dl_fields=np.stack([dl_ee, dl_bb]),
         noise_sigma2=0.2 ** 2, fwhm_radians=np.radians(0.5), mask=mask,
-        dtype=jnp.dtype(DTYPE), grid=grid)
+        dtype=jnp.dtype(dtype or DTYPE), grid=grid)
     if CUT:
         from gibbssampler_tpu.ops import with_cut_decomposition
         model = with_cut_decomposition(model)
@@ -120,24 +120,105 @@ def measure(model, dls, tol):
     return iters, conv, ms, racc
 
 
+def measure_mixed(model64, model32, dls, tol, replace_every):
+    """Mixed-precision cell: fp32 Q applies + fp64 vectors/recurrences +
+    periodic fp64 true-residual replacement (ops/cg.py apply_dtype)."""
+    import jax
+    import jax.numpy as jnp
+    from gibbssampler_tpu.harmonics.spectra import unfold_bins
+    from gibbssampler_tpu.harmonics.gridstate import variance_expansion_state
+    from gibbssampler_tpu.samplers.cr import (cr_precond, fluctuated_rhs,
+                                              _q_op, _safe_inv, _active)
+    from gibbssampler_tpu.ops.cg import cg_solve
+
+    bins = np.arange(2, LMAX + 2)
+    var64 = jnp.stack([variance_expansion_state(
+        unfold_bins(jnp.asarray(d[2:], jnp.float64), bins, LMAX), LMAX)
+        for d in dls])
+    var32 = var64.astype(jnp.float32)
+    bt64 = jax.jit(lambda m: m.bt_ninv_d())(model64)
+    op_lo = _q_op(model32, _safe_inv(var32))   # called on fp32 vectors
+    op_hi = _q_op(model64, _safe_inv(var64))
+
+    def one_solve(key, model64, model32):
+        b = fluctuated_rhs(key, model64, var64, bt64)
+        x, info = cg_solve(op_lo, b, x0=None,
+                           precond_diag=cr_precond(model64, var64),
+                           tol=tol, maxiter=MAXITER, ndim_sys=2,
+                           apply_dtype=jnp.float32, operator_hi=op_hi,
+                           replace_every=replace_every)
+        # acceptance check with the TRUE (fp64) residual — the RJPO gate
+        r = b - op_hi(x)
+        return x * _active(var64), info, r
+
+    solve = jax.jit(jax.vmap(one_solve, in_axes=(0, None, None)))
+    keys = jax.random.split(jax.random.PRNGKey(7), NCHAINS)
+    x, info, r = solve(keys, model64, model32)
+    jax.block_until_ready(x)
+    iters = int(np.max(np.asarray(info.iterations)))
+    conv = bool(np.all(np.asarray(info.converged)))
+    t0 = time.time()
+    nrep = 3
+    for rr in range(nrep):
+        keys = jax.random.split(jax.random.PRNGKey(100 + rr), NCHAINS)
+        x, info, r = solve(keys, model64, model32)
+        jax.block_until_ready(x)
+    ms = (time.time() - t0) / nrep * 1e3
+
+    # RJPO acceptance at this budget: re-solve seeded at -x (the
+    # reference's seeding, CenteredGibbs.py:161-163) and Metropolis-gate on
+    # the fp64 residual: log alpha = -<r, s_old - s_hat>
+    def rjpo_like(key, s_old, model64, model32):
+        kb, ka = jax.random.split(key)
+        b = fluctuated_rhs(kb, model64, var64, bt64)
+        s_hat, _ = cg_solve(op_lo, b, x0=-s_old * _active(var64),
+                            precond_diag=cr_precond(model64, var64),
+                            tol=tol, maxiter=MAXITER, ndim_sys=2,
+                            apply_dtype=jnp.float32, operator_hi=op_hi,
+                            replace_every=replace_every)
+        s_hat = s_hat * _active(var64)
+        rres = b - op_hi(s_hat)
+        log_ratio = -jnp.sum(rres * (s_old - s_hat))
+        return (jnp.log(jax.random.uniform(ka, dtype=jnp.float64))
+                < log_ratio)
+
+    rj = jax.jit(jax.vmap(rjpo_like, in_axes=(0, 0, None, None)))
+    keys = jax.random.split(jax.random.PRNGKey(200), NCHAINS)
+    acc = rj(keys, x, model64, model32)
+    racc = float(np.mean(np.asarray(acc)))
+    return iters, conv, ms, racc
+
+
 def main():
     import jax
-    if DTYPE == "float64":
-        # the JAX_ENABLE_X64 env var is ignored in this image; the config
-        # update is the reliable switch
-        jax.config.update("jax_enable_x64", True)
+    # fp64 is needed in all modes (the JAX_ENABLE_X64 env var is ignored
+    # in this image; the config update is the reliable switch)
+    jax.config.update("jax_enable_x64", True)
     log(f"device: {jax.devices()}")
+    mixed = bool(int(os.environ.get("CG_MIXED", "0")))
+    replace_every = int(os.environ.get("CG_REPLACE", "50"))
     rows = []
+    mode = (f"mixed fp32-apply/fp64-recur, replace_every={replace_every}"
+            if mixed else f"dtype={DTYPE}")
     print(f"lmax={LMAX} pol masked CG, {NCHAINS} lockstep chains, "
-          f"cut={CUT}, maxiter={MAXITER}, dtype={DTYPE}")
+          f"cut={CUT}, maxiter={MAXITER}, {mode}")
     print("| band (deg) | f_sky | tol | iters (lockstep max) | converged | "
           "ms/solve (batch) | rjpo accept |")
     print("|---|---|---|---|---|---|---|")
     for band in BANDS:
-        model, dls = build(band)
-        fsky = float(np.asarray(model.noise.f_sky).mean())
+        if mixed:
+            model64, dls = build(band, dtype="float64")
+            model32, _ = build(band, dtype="float32")
+        else:
+            model, dls = build(band)
         for tol in TOLS:
-            iters, conv, ms, racc = measure(model, dls, tol)
+            if mixed:
+                fsky = float(np.asarray(model64.noise.f_sky).mean())
+                iters, conv, ms, racc = measure_mixed(model64, model32, dls,
+                                                      tol, replace_every)
+            else:
+                fsky = float(np.asarray(model.noise.f_sky).mean())
+                iters, conv, ms, racc = measure(model, dls, tol)
             print(f"| {band:.1f} | {fsky:.3f} | {tol:g} | {iters} | "
                   f"{conv} | {ms:.0f} | {racc:.2f} |", flush=True)
             rows.append({"band_deg": band, "f_sky": round(fsky, 4),
@@ -145,7 +226,9 @@ def main():
                          "ms_per_batch_solve": round(ms, 1),
                          "rjpo_accept": round(racc, 3)})
     print(json.dumps({"lmax": LMAX, "nchains": NCHAINS, "cut": CUT,
-                      "dtype": DTYPE, "rows": rows}))
+                      "dtype": ("mixed" if mixed else DTYPE),
+                      "replace_every": (replace_every if mixed else None),
+                      "rows": rows}))
 
 
 if __name__ == "__main__":

@@ -29,22 +29,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_scan(name, body, carry, n=N_ITER):
+def timed_scan(name, body, sch, carry, n=N_ITER):
+    """body(scheme, carry, key) -> carry; the scheme rides through jit as a
+    pytree argument (closing over it would bake the operator tables into
+    the serialized module and blow the remote-compile request limit)."""
     from gibbssampler_tpu.utils.exec_cache import cached_call
 
     @jax.jit
-    def run(carry, keys):
+    def run(sch, carry, keys):
         def f(c, k):
-            return body(c, k), None
+            return body(sch, c, k), None
         out, _ = jax.lax.scan(f, carry, keys)
         return out
 
     keys = jax.random.split(jax.random.PRNGKey(5), n)
-    out = cached_call(run, "probe_" + name, carry, keys)
+    out = cached_call(run, "probe_" + name, sch, carry, keys)
     jax.block_until_ready(out)
     t0 = time.time()
     keys = jax.random.split(jax.random.PRNGKey(6), n)
-    out = cached_call(run, "probe_" + name, carry, keys)
+    out = cached_call(run, "probe_" + name, sch, carry, keys)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / n * 1e3
     log(f"{name:34s} {dt:8.1f} ms/iter")
@@ -54,81 +57,80 @@ def timed_scan(name, body, carry, n=N_ITER):
 def main():
     import bench
     scheme, (dl_ee, dl_bb, bins_pair) = bench.build()
-    model = scheme.model
     dl0 = tuple(bench._binned_mean_np(d, b)
                 for d, b in zip((dl_ee, dl_bb), bins_pair))
     from gibbssampler_tpu.schemes.gibbs import _init_scheme
-    dl0j = tuple(jnp.asarray(d, dtype=model.sht.dtype) for d in dl0)
+    dl0j = tuple(jnp.asarray(d, dtype=scheme.model.sht.dtype) for d in dl0)
     states = _init_scheme(scheme, jax.random.split(jax.random.PRNGKey(1),
                                                    NCHAINS), dl0j)
     jax.block_until_ready(states.s)
     nst = jax.tree.leaves(states)[0].shape[0]
 
-    def full_step(sts, key):
+    def full_step(sch, sts, key):
         kn, kc = jax.random.split(key)
-        pool = scheme.draw_noise_pool(kn, nst)
+        pool = sch.draw_noise_pool(kn, nst)
         ks = jax.random.split(kc, nst)
         if pool:
-            return jax.vmap(scheme.step)(ks, sts, pool)[0]
-        return jax.vmap(scheme.step)(ks, sts)[0]
+            return jax.vmap(sch.step)(ks, sts, pool)[0]
+        return jax.vmap(sch.step)(ks, sts)[0]
 
-    def cr_only(sts, key):
+    def cr_only(sch, sts, key):
         kn, kc = jax.random.split(key)
-        pool = scheme.draw_noise_pool(kn, nst)
+        pool = sch.draw_noise_pool(kn, nst)
         ks = jax.random.split(kc, nst)
 
         def one(k, st, nz):
-            s, _ = scheme._cr_step(k, st.s, scheme.var_cls(st.dl), nz)
+            s, _ = sch._cr_step(k, st.s, sch.var_cls(st.dl), nz)
             return st._replace(s=s)
         if pool:
             return jax.vmap(one)(ks, sts, pool)
         return jax.vmap(lambda k, st: one(k, st, None))(ks, sts)
 
-    def mh_only(sts, key):
+    def mh_only(sch, sts, key):
         from gibbssampler_tpu.schemes.gibbs import _nc_cls_step
         from gibbssampler_tpu.samplers import cls_samplers as cls_mod
         ks = jax.random.split(key, nst)
 
         def one(k, st):
-            dl_c = cls_mod.centered_cls_sample(k, st.s, scheme.bins_list,
-                                               scheme.lmax)
-            s_nc = cls_mod.whiten(st.s, dl_c, scheme.bins_list, scheme.lmax)
-            dl, _ = _nc_cls_step(scheme, k, dl_c, s_nc)
-            s = cls_mod.recenter(s_nc, dl, scheme.bins_list, scheme.lmax)
+            dl_c = cls_mod.centered_cls_sample(k, st.s, sch.bins_list,
+                                               sch.lmax)
+            s_nc = cls_mod.whiten(st.s, dl_c, sch.bins_list, sch.lmax)
+            dl, _ = _nc_cls_step(sch, k, dl_c, s_nc)
+            s = cls_mod.recenter(s_nc, dl, sch.bins_list, sch.lmax)
             return st._replace(s=s, dl=dl)
         return jax.vmap(one)(ks, sts)
 
-    def conj_whiten_only(sts, key):
+    def conj_only(sch, sts, key):
         from gibbssampler_tpu.samplers import cls_samplers as cls_mod
         ks = jax.random.split(key, nst)
 
         def one(k, st):
-            dl_c = cls_mod.centered_cls_sample(k, st.s, scheme.bins_list,
-                                               scheme.lmax)
-            s_nc = cls_mod.whiten(st.s, dl_c, scheme.bins_list, scheme.lmax)
-            s = cls_mod.recenter(s_nc, dl_c, scheme.bins_list, scheme.lmax)
+            dl_c = cls_mod.centered_cls_sample(k, st.s, sch.bins_list,
+                                               sch.lmax)
+            s_nc = cls_mod.whiten(st.s, dl_c, sch.bins_list, sch.lmax)
+            s = cls_mod.recenter(s_nc, dl_c, sch.bins_list, sch.lmax)
             return st._replace(s=s, dl=dl_c)
         return jax.vmap(one)(ks, sts)
 
-    timed_scan("full flagship step", full_step, states)
-    timed_scan("CR step only", cr_only, states)
-    timed_scan("conj+whiten/recenter only", conj_whiten_only, states)
-    timed_scan("MH step only (conj+whiten+MH)", mh_only, states)
+    timed_scan("full flagship step", full_step, scheme, states)
+    timed_scan("CR step only", cr_only, scheme, states)
+    timed_scan("conj+whiten/recenter only", conj_only, scheme, states)
+    timed_scan("MH step only (conj+whiten+MH)", mh_only, scheme, states)
 
-    # micro ops
     s = states.s
 
-    def cut_synth(x, key):
-        u = model.beam(x)
-        return jax.vmap(model.synthesis_cut)(u).sum() * 0 + x
+    def cut_synth(sch, x, key):
+        u = sch.model.beam(x)
+        out = jax.vmap(sch.model.synthesis_cut)(u)
+        return x + 0 * jnp.sum(out) / (jnp.abs(jnp.sum(out)) + 1.0)
 
-    def sp_synth(x, key):
-        u = model.beam(x)
-        return jax.vmap(model.synthesis_sp)(u).sum() * 0 + x
-
-    timed_scan("floor cut synthesis (vmapped)", cut_synth, s)
-    if model.has_sparse:
-        timed_scan("sparse point synthesis (vmapped)", sp_synth, s)
+    timed_scan("floor cut synthesis (vmapped)", cut_synth, scheme, s)
+    if scheme.model.has_sparse:
+        def sp_synth(sch, x, key):
+            u = sch.model.beam(x)
+            out = jax.vmap(sch.model.synthesis_sp)(u)
+            return x + 0 * jnp.sum(out) / (jnp.abs(jnp.sum(out)) + 1.0)
+        timed_scan("sparse point synthesis (vmapped)", sp_synth, scheme, s)
 
 
 if __name__ == "__main__":
