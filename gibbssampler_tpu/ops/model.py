@@ -216,15 +216,73 @@ class SkyModel:
         """A_sp^T f (exact transpose of synthesis_sp)."""
         return self._adjoint_with(self.sp_sht, f_sp)
 
+    def synthesis_cut_sp(self, s: jnp.ndarray):
+        """(A_cut s, A_sp s) as ONE fused pair sharing the Legendre-stage
+        grid prep.  Each SHT instance carries its own pack arrays as
+        distinct runtime parameters, so XLA cannot CSE the ~GB grid
+        expansions across the cut and point transforms by itself — this
+        builds them once and feeds both Legendre stages.  Returns
+        (cut_maps, point_values); point_values is None without the
+        sparse split."""
+        if not self.has_sparse:
+            return self.synthesis_cut(s), None
+        cut, sp = self.cut_sht, self.sp_sht
+        if self.spin == 0:
+            g0 = cut._state_grids(s[..., 0, :])
+            return (cut.synthesis_from_grids(g0)[..., None, :, :],
+                    sp.synthesis_from_grids(g0)[..., None, :, :])
+        if self.spin == 2:
+            ap, am = cut._spin2_stacks(s[..., 0, :], s[..., 1, :])
+            qc, uc = cut._spin2_maps_from_F(*cut._spin2_F_stacks(ap, am))
+            qs, us = sp._spin2_points_from_F(*sp._spin2_F_stacks(ap, am))
+            return (jnp.stack([qc, uc], axis=-3),
+                    jnp.stack([qs, us], axis=-3))
+        g0 = cut._state_grids(s[..., 0, :])
+        t_c = cut.synthesis_from_grids(g0)
+        t_s = sp.synthesis_from_grids(g0)
+        ap, am = cut._spin2_stacks(s[..., 1, :], s[..., 2, :])
+        qc, uc = cut._spin2_maps_from_F(*cut._spin2_F_stacks(ap, am))
+        qs, us = sp._spin2_points_from_F(*sp._spin2_F_stacks(ap, am))
+        return (jnp.stack([t_c, qc, uc], axis=-3),
+                jnp.stack([t_s, qs, us], axis=-3))
+
+    def adjoint_cut_sp(self, f_cut: jnp.ndarray,
+                       f_sp: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """A_cut^T f_cut + A_sp^T f_sp with the two contributions summed at
+        alm-grid level and recombined/packed once (the fused-pair adjoint;
+        exact transpose of :meth:`synthesis_cut_sp`)."""
+        if f_sp is None or not self.has_sparse:
+            return self.adjoint_synthesis_cut(f_cut)
+        cut, sp = self.cut_sht, self.sp_sht
+        if self.spin == 0:
+            a2 = (cut._spin0_agrids(f_cut[..., 0, :, :])
+                  + sp._spin0_agrids(f_sp[..., 0, :, :]))
+            return cut._grids_to_state(a2)[..., None, :]
+
+        def _eb(qc_, uc_, qs_, us_):
+            g1 = cut._spin2_agrids(*cut._spin2_ring_coefs(qc_, uc_))
+            g2 = sp._spin2_agrids(*sp._spin2_ring_coefs(qs_, us_))
+            return cut._spin2_recombine(*[a + b for a, b in zip(g1, g2)])
+        if self.spin == 2:
+            e, b = _eb(f_cut[..., 0, :, :], f_cut[..., 1, :, :],
+                       f_sp[..., 0, :, :], f_sp[..., 1, :, :])
+            return jnp.stack([e, b], axis=-2)
+        a2 = (cut._spin0_agrids(f_cut[..., 0, :, :])
+              + sp._spin0_agrids(f_sp[..., 0, :, :]))
+        t = cut._grids_to_state(a2)
+        e, b = _eb(f_cut[..., 1, :, :], f_cut[..., 2, :, :],
+                   f_sp[..., 1, :, :], f_sp[..., 2, :, :])
+        return jnp.stack([t, e, b], axis=-2)
+
     def _w_corr(self, sb: jnp.ndarray) -> jnp.ndarray:
         """A_cut^T (w_cut A_cut u) [+ A_sp^T (w_sp A_sp u)] — the masked
         correction operator of the complement decomposition, floor rows
-        plus (when present) the sparse hole points."""
-        corr = self.adjoint_synthesis_cut(self.w_cut * self.synthesis_cut(sb))
-        if self.has_sparse:
-            corr = corr + self.adjoint_synthesis_sp(
-                self.w_sp * self.synthesis_sp(sb))
-        return corr
+        plus (when present) the sparse hole points, as fused pairs."""
+        if not self.has_sparse:
+            return self.adjoint_synthesis_cut(
+                self.w_cut * self.synthesis_cut(sb))
+        au_cut, au_sp = self.synthesis_cut_sp(sb)
+        return self.adjoint_cut_sp(self.w_cut * au_cut, self.w_sp * au_sp)
 
     def q_apply_cut(self, s: jnp.ndarray, inv_cvar: jnp.ndarray):
         """Exact masked Q apply via the complement decomposition:

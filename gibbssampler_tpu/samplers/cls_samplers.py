@@ -610,9 +610,8 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
 
     dl0 = jnp.concatenate([d.astype(dt) for d in dl_tuple], axis=-1)
     u0 = u_of(dl0)
-    au0 = model.synthesis_cut(u0)
+    au0, au_sp0 = model.synthesis_cut_sp(u0)
     resid0 = model.d_cut.astype(dt) - au0
-    au_sp0 = model.synthesis_sp(u0) if has_sp else None
     rp0 = (model.d_sp.astype(dt) - au_sp0) if has_sp else None
     ll0 = model.data_loglike_cut(u0, au0, au_sp0)
 
@@ -658,8 +657,7 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
             mb = bmask[row]
             cand = jnp.where(mb > 0, props, dlcat)
             u_c = u_of(cand)
-            au_c = model.synthesis_cut(u_c)
-            au_sp_c = model.synthesis_sp(u_c) if has_sp else None
+            au_c, au_sp_c = model.synthesis_cut_sp(u_c)
             ll_c = model.data_loglike_cut(u_c, au_c, au_sp_c)
             qcorr = jnp.sum(mb * lr_vec)
             acc = (jnp.log(jax.random.uniform(akeys[row], dtype=dt))

@@ -281,12 +281,10 @@ def _aux_ops(model: SkyModel, var_cls, eps=1e-7):
         mu_bar = noise.tau_max.astype(dt)
 
         def fwd(s):
-            u = model.beam(s)
-            return (model.synthesis_cut(u), model.synthesis_sp(u))
+            return model.synthesis_cut_sp(model.beam(s))
 
         def proj(v):
-            return model.beam(model.adjoint_synthesis_cut(v[0])
-                              + model.adjoint_synthesis_sp(v[1]))
+            return model.beam(model.adjoint_cut_sp(v[0], v[1]))
     elif model.has_cut:
         gap = model.w_cut.astype(dt)
         mu_bar = noise.tau_max.astype(dt)
@@ -422,16 +420,16 @@ def mala_cr(key, model: SkyModel, var_cls, bt_ninv_d, s_old,
 
     if model.has_cut:
         def fwd_grad_logp(x):
-            """one cut synthesis + one cut adjoint (plus the sparse-point
-            pair when the floor+sparse split is attached) ->
+            """one cut synthesis + one cut adjoint (fused with the
+            sparse-point pair when the floor+sparse split is attached) ->
             (gradient, log target)."""
             u = model.beam(x)
-            au_cut = model.synthesis_cut(u)
-            corr = model.adjoint_synthesis_cut(model.w_cut * au_cut)
-            au_sp = None
+            au_cut, au_sp = model.synthesis_cut_sp(u)
             if model.has_sparse:
-                au_sp = model.synthesis_sp(u)
-                corr = corr + model.adjoint_synthesis_sp(model.w_sp * au_sp)
+                corr = model.adjoint_cut_sp(model.w_cut * au_cut,
+                                            model.w_sp * au_sp)
+            else:
+                corr = model.adjoint_synthesis_cut(model.w_cut * au_cut)
             qs = hdiag * x - model.beam(corr)
             grad = (-inv_cvar * x - qs + bt_ninv_d) * _active(var_cls)
             logp = (-0.5 * jnp.sum(inv_cvar * x * x)

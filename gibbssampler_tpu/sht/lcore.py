@@ -290,6 +290,47 @@ class LegendreCore:
 
     # -- spin-2 Legendre stages (shared between grids) ------------------------
 
+    def _spin2_stacks(self, e_state, b_state):
+        """(ap, am) Legendre-stage input stacks of a+ = -(E + iB),
+        a- = -(E - iB) — the (dense-table) grid prep of :meth:`_spin2_F`,
+        exposed so a cut transform and a sparse point transform over the
+        SAME state can share it (each SHT instance carries its own pack
+        arrays as distinct runtime parameters, so XLA cannot CSE the
+        ~GB-scale grid expansions across instances by itself)."""
+        if self.ring_split:
+            raise NotImplementedError("stack sharing needs dense tables")
+        eg = self._state_grids(e_state)
+        bg = self._state_grids(b_state)
+        ere, eim = eg[..., 0, :, :], eg[..., 1, :, :]
+        bre, bim = bg[..., 0, :, :], bg[..., 1, :, :]
+        ap = jnp.stack([-(ere - bim), -(eim + bre)], axis=-3)
+        am = jnp.stack([-(ere + bim), -(eim - bre)], axis=-3)
+        return ap, am
+
+    def _spin2_F_stacks(self, ap, am):
+        """(ap, am) stacks -> (Fp_re, Fp_im, Fm_re, Fm_im) through this
+        instance's dense spin-2 tables."""
+        Fp = self._lsynth_stack(self.lam_p2, ap)
+        Fm = self._lsynth_stack(self.lam_m2, am)
+        return (Fp[..., 0, :, :], Fp[..., 1, :, :],
+                Fm[..., 0, :, :], Fm[..., 1, :, :])
+
+    def _spin2_agrids(self, Cp_re, Cp_im, Cm_re, Cm_im):
+        """Ring coefficients -> (ap_re, ap_im, am_re, am_im) alm grids
+        (the dense-path Legendre adjoint of :meth:`_spin2_alm`, before the
+        E/B recombination — exposed so two transforms' contributions can
+        be SUMMED at grid level and recombined once)."""
+        ap_re, ap_im = self._ladj2(self.lam_p2, Cp_re, Cp_im)
+        am_re, am_im = self._ladj2(self.lam_m2, Cm_re, -Cm_im)
+        return ap_re, ap_im, am_re, am_im
+
+    def _spin2_recombine(self, ap_re, ap_im, am_re, am_im):
+        """(a+, a-) grids -> (E, B) grid-packed states."""
+        e_re, e_im = -0.5 * (ap_re + am_re), -0.5 * (ap_im + am_im)
+        b_re, b_im = -0.5 * (ap_im - am_im), 0.5 * (ap_re - am_re)
+        return (self._grids_to_state(jnp.stack([e_re, e_im], axis=-3)),
+                self._grids_to_state(jnp.stack([b_re, b_im], axis=-3)))
+
     def _spin2_F(self, e_state, b_state):
         """(E, B) grid-packed states -> (Fp_re, Fp_im, Fm_re, Fm_im) ring
         Fourier coefficients of a+ = -(E + iB) through lam+2 and

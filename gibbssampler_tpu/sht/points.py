@@ -169,9 +169,26 @@ class PointSHT(LegendreCore):
         """A^T: exact transpose of ``synthesis_state`` (no cm factor here:
         the grid-packing output scale absorbs it, exactly as in
         SHT._analysis_core_state)."""
+        return self._grids_to_state(self._spin0_agrids(f))
+
+    def synthesis_from_grids(self, g0: jnp.ndarray) -> jnp.ndarray:
+        """Spin-0 point synthesis from a prebuilt ``_state_grids`` array."""
+        F = self._lsynth_stack(self.lam0, g0)
+        cm = self._cm()
+        return self._to_points(cm * F[..., 0, :, :], -(cm * F[..., 1, :, :]))
+
+    def _spin0_agrids(self, f: jnp.ndarray) -> jnp.ndarray:
+        """Spin-0 adjoint up to the alm grids (summable across
+        transforms)."""
         Sc, Ss = self._from_points(f)
-        a2 = self._ladj_stack(self.lam0, jnp.stack([Sc, -Ss], axis=-3))
-        return self._grids_to_state(a2)
+        return self._ladj_stack(self.lam0, jnp.stack([Sc, -Ss], axis=-3))
+
+    def _spin2_ring_coefs(self, q, u):
+        """(Q, U) point values -> (Cp_re, Cp_im, Cm_re, Cm_im) trig-sum
+        coefficients (absolute frame; feeds ``_spin2_agrids``)."""
+        qc, qs = self._from_points(q)
+        uc, us = self._from_points(u)
+        return qc + us, uc - qs, qc - us, uc + qs
 
     # -- spin 2 ------------------------------------------------------------
 

@@ -196,6 +196,54 @@ class SHT(LegendreCore):
         Fre, Fim = self._legendre_synth_state(x, self.lam0)
         return self._ring_ifft_real(Fre, Fim)
 
+    def synthesis_from_grids(self, g0: jnp.ndarray) -> jnp.ndarray:
+        """Spin-0 synthesis from a PREBUILT ``_state_grids`` array (shared
+        grid prep across a cut/sparse transform pair)."""
+        F = self._lsynth_stack(self.lam0, g0)
+        Fre, Fim = F[..., 0, :, :], F[..., 1, :, :]
+        if self._constrain_F is not None:
+            Fre, Fim = self._constrain_F(Fre), self._constrain_F(Fim)
+        return self._ring_ifft_real(Fre, Fim)
+
+    def _spin0_agrids(self, maps: jnp.ndarray) -> jnp.ndarray:
+        """Spin-0 adjoint up to the alm grids (..., 2, L, L) — summable
+        across transforms before one shared ``_grids_to_state``."""
+        Gre, Gim = self._ring_fft_real(maps)
+        if self._constrain_F is not None:
+            Gre, Gim = self._constrain_F(Gre), self._constrain_F(Gim)
+        return self._ladj_stack(self.lam0, jnp.stack([Gre, Gim], axis=-3))
+
+    def _spin2_ring_coefs(self, q_maps, u_maps):
+        """(Q, U) maps -> unweighted (Cp_re, Cp_im, Cm_re, Cm_im) ring
+        coefficients (the azimuthal stage of adjoint_synthesis_spin2_state;
+        feeds ``_spin2_agrids`` for grid-level summing)."""
+        pet = self.dtype
+        td = self.table_dtype
+        q = q_maps.astype(pet)
+        u = u_maps.astype(pet)
+        if self.fft_mode == "ct":
+            qc, qs = _ct_real_to_halfspec(self._ct, q.astype(td), pet)
+            uc, us = _ct_real_to_halfspec(self._ct, u.astype(td), pet)
+        else:
+            qu_, qv_ = self._fold_half(q)
+            uu_, uv_ = self._fold_half(u)
+            qc = jnp.matmul(qu_.astype(td), self.dft_cos.T,
+                            preferred_element_type=pet).astype(pet)
+            qs = jnp.matmul(qv_.astype(td), self.dft_sin.T,
+                            preferred_element_type=pet).astype(pet)
+            uc = jnp.matmul(uu_.astype(td), self.dft_cos.T,
+                            preferred_element_type=pet).astype(pet)
+            us = jnp.matmul(uv_.astype(td), self.dft_sin.T,
+                            preferred_element_type=pet).astype(pet)
+        Cp_re, Cp_im = qc + us, uc - qs
+        Cm_re, Cm_im = qc - us, uc + qs
+        Cp_re, Cp_im = self._rot(Cp_re, Cp_im, -1)
+        Cm_re, Cm_im = self._rot(Cm_re, Cm_im, +1)
+        if self._constrain_F is not None:
+            Cp_re, Cp_im = self._constrain_F(Cp_re), self._constrain_F(Cp_im)
+            Cm_re, Cm_im = self._constrain_F(Cm_re), self._constrain_F(Cm_im)
+        return Cp_re, Cp_im, Cm_re, Cm_im
+
     def synthesis(self, flat: jnp.ndarray) -> jnp.ndarray:
         """A on the reference ragged packing (interop wrapper; the hot path
         is ``synthesis_state``)."""
