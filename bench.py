@@ -58,11 +58,11 @@ LCUT = int(os.environ.get("BENCH_LCUT", "300"))
 # autocorrelation sum and overestimate ~2x (measured, docs/PERF.md r4)
 N_ITER = int(os.environ.get("BENCH_ITERS", "300"))
 # mask shape: "band" (hard ~80% f_sky galactic cut, the default) or
-# "planckish" (GL only): apodized band + random point-source holes at all
-# latitudes — azimuthally NON-uniform, so the blocked-MH singles run
-# through the memory-bounded chunked phi-domain engine (the realistic-mask
-# configuration; the reference's actual mask is Planck HFI GalPlane-apo0 +
-# point sources, config.py:22-28)
+# "planckish" (GL or HEALPix): apodized band + random point-source holes
+# at all latitudes — the realistic-mask configuration (the reference's
+# actual mask is Planck HFI GalPlane-apo0 + point sources,
+# config.py:22-28).  The azimuthal-floor + sparse-hole decomposition
+# keeps the fast m/table-domain engines eligible (round 5).
 MASK_KIND = os.environ.get("BENCH_MASK", "band")
 # BENCH_BASELINE=1: run the same sampler as ONE chain on CPU and print the
 # measured sec/iter (the reference's unit of compute: one process of the
@@ -143,12 +143,35 @@ def build():
         # the reference's production grid: HEALPix NSIDE = lmax/2
         # (config.py:19-21), padded map layout (gather-free hot path)
         from gibbssampler_tpu.sht.healpix import make_healpix_sht
-        from gibbssampler_tpu.sht.healpix_pix import galactic_band_mask
+        from gibbssampler_tpu.sht.healpix_pix import (galactic_band_mask,
+                                                      pix2ang_ring)
         nside = LMAX // 2
         sht = make_healpix_sht(nside, LMAX, dtype=jnp.float32, spin2=True,
                                table_dtype=jnp.dtype(TABLE_DTYPE),
                                ring_split=RING_SPLIT, layout="padded")
-        mask = galactic_band_mask(nside, 11.5)       # ~80% f_sky cut
+        if MASK_KIND == "planckish":
+            # apodized band + point-source holes on the reference's own
+            # grid; holes land on cap rings too (handled by the sparse
+            # point set of the cut decomposition)
+            theta_p, phi_p = pix2ang_ring(nside, np.arange(sht.geo.npix))
+            lat = np.abs(np.pi / 2 - theta_p)
+            b0, apo = np.radians(11.5), np.radians(3.0)
+            x = np.clip((lat - b0) / apo, 0.0, 1.0)
+            mask = 0.5 - 0.5 * np.cos(np.pi * x)
+            rng = np.random.default_rng(5)
+            nholes = int(os.environ.get("BENCH_NHOLES", "200"))
+            rhole = np.radians(0.35)
+            ct, st = np.cos(theta_p), np.sin(theta_p)
+            for _ in range(nholes):
+                ct0 = rng.uniform(-1.0, 1.0)
+                st0 = np.sqrt(1.0 - ct0 * ct0)
+                ph0 = rng.uniform(0.0, 2.0 * np.pi)
+                cosd = ct0 * ct + st0 * st * np.cos(phi_p - ph0)
+                mask[cosd > np.cos(rhole)] = 0.0
+            log(f"planckish healpix mask: apodized band + {nholes} holes, "
+                f"f_sky ~= {mask.mean():.3f}")
+        else:
+            mask = galactic_band_mask(nside, 11.5)   # ~80% f_sky cut
         log(f"building dataset lmax={LMAX} healpix nside={nside} "
             f"npix={sht.geo.npix} npadded={sht.npadded}")
         grid = None
@@ -254,7 +277,7 @@ def build():
             try:
                 with open(tuned_path) as f:
                     t = json.load(f)
-                if (t.get("scheme") == "asis" and t.get("grid") == GRID
+                if (t.get("scheme") == SCHEME and t.get("grid") == GRID
                         and t.get("lmax") == LMAX
                         and t.get("nbins") == [len(s) for s in sig]):
                     sig = [np.asarray(x, dtype=np.float64)
@@ -291,6 +314,12 @@ def build():
                 raise SystemExit(f"BENCH_LCUT={LCUT} must be a bin boundary")
             blocks_ee = [(cb_ee, nb_ee)]
             blocks_bb = [(i, i + 1) for i in range(cb_bb, nb_bb)]
+            # joint-block 2.38/sqrt(d) scaling of the analytic seed (the
+            # EE high-l block is ~200 bins wide; 1-d scales collapse its
+            # acceptance — measured for ASIS, docs/PERF.md round 4)
+            from gibbssampler_tpu.parallel.adapt import block_widths
+            sig = [s / np.sqrt(block_widths(bl, len(s)))
+                   for s, bl in zip(sig, (blocks_ee, blocks_bb))]
             scheme = PNCPGibbs(model, [bins_ee, bins_bb],
                                [blocks_ee, blocks_bb], sig, l_cut=LCUT,
                                n_iter_mh=n_mh, cr_method=cr,

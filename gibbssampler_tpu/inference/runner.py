@@ -185,8 +185,12 @@ def _build(cfg: RunConfig):
         # proposal scales (reference: get_proposal_variances_preliminary,
         # config.py:136-225)
         from ..parallel.adapt import proposal_sigmas_from_results
-        sig = proposal_sigmas_from_results(cfg.proposal_from,
-                                           nfields=len(bins_list))
+        sig = proposal_sigmas_from_results(
+            cfg.proposal_from, nfields=len(bins_list),
+            # thread the MH block widths so wide joint blocks get the
+            # 2.38/sqrt(d) scaling (without it a 394-bin block collapses
+            # acceptance to ~0.02; docs/PERF.md round 4)
+            blocks_list=[blocks] * len(bins_list))
         if len(sig) != len(bins_list) or any(
                 len(s) != len(b) - 1 for s, b in zip(sig, bins_list)):
             raise ValueError(

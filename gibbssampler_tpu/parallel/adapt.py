@@ -66,21 +66,29 @@ def block_widths(blocks, nbins: int):
 
 
 def proposal_sigmas_from_results(npz_path, nfields: int | None = None,
-                                 scale: float = 2.38, burn_frac: float = 0.2):
+                                 scale: float = 2.38, burn_frac: float = 0.2,
+                                 blocks_list=None):
     """Proposal std-devs pooled from a previous run's saved chains — the
     reference's two-phase preliminary-run workflow
     (get_proposal_variances_preliminary, config.py:136-225), reading the
-    results npz written by inference.run_experiment."""
+    results npz written by inference.run_experiment.
+
+    ``blocks_list`` (per-field [(lo, hi)] MH blocks): when given, each
+    bin's sd is scaled by 2.38/sqrt(d_block) — without it a 394-bin joint
+    block at the 1-d scale collapses acceptance to ~0.02 (measured,
+    docs/PERF.md round 4)."""
     z = np.load(str(npz_path))
     fields = [k for k in z.files if k.startswith("dl_chain_")]
     fields.sort(key=lambda k: int(k.split("_")[-1]))
     if nfields is not None:
         fields = fields[:nfields]
     out = []
-    for k in fields:
+    for fi, k in enumerate(fields):
         c = np.asarray(z[k], dtype=np.float64)     # (nchains, n_iter, nbins)
         c = c[:, int(burn_frac * c.shape[1]):]
-        out.append(pooled_proposal_sigmas(c, scale=scale))
+        bw = (block_widths(blocks_list[fi], c.shape[-1])
+              if blocks_list is not None else None)
+        out.append(pooled_proposal_sigmas(c, scale=scale, block_width=bw))
     return out
 
 
