@@ -272,18 +272,26 @@ def build():
         # heuristic
         tuned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "tuned_proposals.json")
+        tuned_loaded = False
         if int(os.environ.get("BENCH_TUNED", "1")) \
                 and os.path.exists(tuned_path):
             try:
                 with open(tuned_path) as f:
                     t = json.load(f)
-                if (t.get("scheme") == SCHEME and t.get("grid") == GRID
-                        and t.get("lmax") == LMAX
-                        and t.get("nbins") == [len(s) for s in sig]):
-                    sig = [np.asarray(x, dtype=np.float64)
-                           for x in t["sig"]]
-                    log("using tuned proposal sigmas "
-                        "(tuned_proposals.json)")
+                # multi-record store (one per scheme/grid/lmax); a bare
+                # dict is the legacy single-record format
+                trecs = (t.get("records", [t]) if isinstance(t, dict)
+                         else t)
+                for t in trecs:
+                    if (t.get("scheme") == SCHEME and t.get("grid") == GRID
+                            and t.get("lmax") == LMAX
+                            and t.get("nbins") == [len(s) for s in sig]):
+                        sig = [np.asarray(x, dtype=np.float64)
+                               for x in t["sig"]]
+                        tuned_loaded = True
+                        log("using tuned proposal sigmas "
+                            "(tuned_proposals.json)")
+                        break
             except (ValueError, KeyError) as e:
                 log(f"ignoring tuned_proposals.json: {e}")
         # CR method inside ASIS.  Both come from the reference's own
@@ -316,10 +324,13 @@ def build():
             blocks_bb = [(i, i + 1) for i in range(cb_bb, nb_bb)]
             # joint-block 2.38/sqrt(d) scaling of the analytic seed (the
             # EE high-l block is ~200 bins wide; 1-d scales collapse its
-            # acceptance — measured for ASIS, docs/PERF.md round 4)
-            from gibbssampler_tpu.parallel.adapt import block_widths
-            sig = [s / np.sqrt(block_widths(bl, len(s)))
-                   for s, bl in zip(sig, (blocks_ee, blocks_bb))]
+            # acceptance — measured for ASIS, docs/PERF.md round 4).
+            # Tuned sigmas are saved POST-scaling (tune_flagship pulls
+            # them off the built scheme), so never rescale those.
+            if not tuned_loaded:
+                from gibbssampler_tpu.parallel.adapt import block_widths
+                sig = [s / np.sqrt(block_widths(bl, len(s)))
+                       for s, bl in zip(sig, (blocks_ee, blocks_bb))]
             scheme = PNCPGibbs(model, [bins_ee, bins_bb],
                                [blocks_ee, blocks_bb], sig, l_cut=LCUT,
                                n_iter_mh=n_mh, cr_method=cr,

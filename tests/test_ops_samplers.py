@@ -87,6 +87,44 @@ def test_cg_matches_dense_solve_masked(spin):
                                atol=1e-8 * np.abs(x_dense).max())
 
 
+def test_cg_mixed_precision_matches_dense_solve():
+    """Mixed-precision CG (fp32 mat-vecs + fp64 vectors/recurrences +
+    periodic true-residual replacement, ops/cg.py apply_dtype) must reach
+    the same solution as the dense solve on a masked sky — the production
+    remedy for the measured fp32 stagnation at lmax=512 (docs/PERF.md;
+    reference workhorse path: ConstrainedRealization.py:40-41)."""
+    mask = None
+    model, _, fields = make_model(spin=2)
+    mask = ring_mask(model)
+    model, _, fields = make_model(spin=2, mask=mask)
+    var = var_cls_of(model, fields)
+    inv_cvar = jnp.where(var > 0, 1.0 / jnp.where(var > 0, var, 1.0), 0.0)
+    nfield = model.nfields
+    dim = nfield * NF
+    op = jax.jit(lambda x: model.q_apply(x, inv_cvar))
+    eye = jnp.eye(dim).reshape(dim, nfield, NF)
+    Q = np.asarray(jax.vmap(op)(eye).reshape(dim, dim).T)
+    rng = np.random.default_rng(3)
+    active = np.asarray((var > 0)).reshape(-1)
+    b = rng.normal(size=dim) * active
+    x_dense = np.zeros(dim)
+    x_dense[active] = np.linalg.solve(Q[np.ix_(active, active)], b[active])
+    x_mx, info = cg_solve(op, jnp.asarray(b.reshape(nfield, NF)),
+                          precond_diag=cr_precond(model, var),
+                          tol=1e-6, maxiter=2000, ndim_sys=2,
+                          apply_dtype=jnp.float32, operator_hi=op,
+                          replace_every=10)
+    assert bool(info.converged.all())
+    scale = np.abs(x_dense).max()
+    np.testing.assert_allclose(np.asarray(x_mx).reshape(-1), x_dense,
+                               atol=3e-5 * scale)
+    # convergence class: comparable iteration count to full fp64
+    _, info64 = cg_solve(op, jnp.asarray(b.reshape(nfield, NF)),
+                         precond_diag=cr_precond(model, var),
+                         tol=1e-6, maxiter=2000, ndim_sys=2)
+    assert int(info.iterations) <= 2 * int(info64.iterations) + 10
+
+
 def test_exact_cr_moments():
     """Full sky: sample many CR draws, check mean and variance against the
     analytic Sigma = (C^-1 + g b^2)^-1, mu = Sigma B A^T N^-1 d."""

@@ -59,7 +59,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    assert bench.SCHEME == "asis", "tuning targets the flagship ASIS config"
+    assert bench.SCHEME in ("asis", "pncp"), \
+        "tuning targets the MH-bearing bench schemes (asis / pncp)"
     scheme, (dl_ee, dl_bb, bins_pair) = bench.build()
     dl0 = tuple(bench._binned_mean_np(d, b)
                 for d, b in zip((dl_ee, dl_bb), bins_pair))
@@ -104,21 +105,34 @@ def main():
                     for c in out["dl_chains"])
 
     rec = {
-        "scheme": "asis", "grid": bench.GRID, "lmax": bench.LMAX,
+        "scheme": bench.SCHEME, "grid": bench.GRID, "lmax": bench.LMAX,
         "nbins": [len(s) for s in sig],
         "n_iter_mh": int(os.environ.get("BENCH_NITER_MH", "1")),
         "nchains": NCHAINS, "seg_iters": SEG_ITERS, "segments": SEGMENTS,
         "sig": [s.tolist() for s in sig],
         "dl_warm": [np.asarray(d).tolist() for d in dl0],
         "accept_per_block_per_segment": accs_log,
-        "note": "tuned truncated-normal proposal scales for the flagship "
-                "ASIS bench (tools/tune_flagship.py); bench.py loads this "
-                "when (scheme, grid, lmax, nbins) match",
+        "note": "tuned truncated-normal proposal scales for the MH-bearing "
+                "bench schemes (tools/tune_flagship.py); bench.py loads the "
+                "record whose (scheme, grid, lmax, nbins) match",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tuned_proposals.json")
+    # multi-record store: one tuned record per (scheme, grid, lmax) — a
+    # pncp tune must not clobber the flagship's record (and vice versa)
+    recs = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+            recs = old.get("records", [old]) if isinstance(old, dict) \
+                else old
+        except ValueError:
+            pass
+    key_of = lambda r: (r.get("scheme"), r.get("grid"), r.get("lmax"))
+    recs = [r for r in recs if key_of(r) != key_of(rec)] + [rec]
     with open(path, "w") as f:
-        json.dump(rec, f)
+        json.dump({"records": recs}, f)
     log(f"wrote {path}")
     final_acc = accs_log[-1]
     print(json.dumps({"lmax": bench.LMAX, "grid": bench.GRID,
