@@ -51,6 +51,11 @@ def check(readme_path=None):
             fname, path = m.group(1), m.group(2)
             prefix = line[: m.start()]
             nums = re.findall(r"-?\d+(?:\.\d+)?", prefix.replace(",", ""))
+            if not nums and ln >= 2:
+                # markdown wrap: the figure may end the PREVIOUS line with
+                # the marker alone leading this one
+                nums = re.findall(r"-?\d+(?:\.\d+)?",
+                                  lines[ln - 2].replace(",", ""))
             if not nums:
                 failures.append(f"L{ln}: marker {fname}#{path} has no "
                                 f"number before it")
