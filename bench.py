@@ -47,13 +47,21 @@ RING_SPLIT = bool(int(os.environ.get("BENCH_RING_SPLIT", "0")))
 # overrelaxed aux CR + non-centered blocked-MH C_ell with the Planck BB
 # binning/blocking, main_polarization.py:124-126, config.py:44-55),
 # "centered" (aux+MALA CR; the fastest-mixing scheme at this noise level)
-# or "pncp" (partially non-centered at BENCH_LCUT, default 300 — centered
-# conjugate draws below l_cut, non-centered blocked MH above; the
-# reference's PNCP.py idea, SURVEY.md 2.4, picked per the round-4 per-bin
-# ESS analysis: centered dominates the signal-dominated bins, NC moves win
-# the noise-dominated BB tail)
+# or "pncp" (partially non-centered at BENCH_LCUT — centered conjugate
+# draws below l_cut, non-centered blocked MH above; the reference's
+# PNCP.py idea, SURVEY.md 2.4).  BENCH_LCUT is "lc" for all fields or
+# "lc_ee,lc_bb" per field; "none" = that field fully centered.  Default
+# "none,300", picked per the measured per-bin ESS (docs/PERF.md): EE is
+# signal-dominated at every multipole (centered wins everywhere; a joint
+# NC block over the EE tail mixes 80x SLOWER than the conjugate draw),
+# while BB crosses to noise-dominated at ell ~ 300 where the NC move
+# mixes 5x+ better.
 SCHEME = os.environ.get("BENCH_SCHEME", "asis")
-LCUT = int(os.environ.get("BENCH_LCUT", "300"))
+_lcut_raw = os.environ.get("BENCH_LCUT", "none,300")
+LCUT = [(-1 if c.strip() == "none" else int(c))
+        for c in _lcut_raw.split(",")]
+if len(LCUT) == 1:
+    LCUT = LCUT * 2
 # 300 iterations: ESS estimators on shorter chains truncate the
 # autocorrelation sum and overestimate ~2x (measured, docs/PERF.md r4)
 N_ITER = int(os.environ.get("BENCH_ITERS", "300"))
@@ -314,13 +322,17 @@ def build():
                        "tau": float(os.environ.get("BENCH_TAU", "0.02"))}
         n_mh = int(os.environ.get("BENCH_NITER_MH", "1"))
         if SCHEME == "pncp":
-            # blocks above l_cut only: EE one big block, BB per-bin
-            # singles (bigs-before-singles keeps the fast path eligible)
-            cb_ee = int(np.searchsorted(bins_ee, LCUT))
-            cb_bb = int(np.searchsorted(bins_bb, LCUT))
-            if bins_ee[cb_ee] != LCUT or bins_bb[cb_bb] != LCUT:
-                raise SystemExit(f"BENCH_LCUT={LCUT} must be a bin boundary")
-            blocks_ee = [(cb_ee, nb_ee)]
+            # per-field cut: "none" (-1) = fully centered field (no MH
+            # blocks); otherwise blocks above l_cut only — a big joint
+            # block for EE (if cut), BB per-bin singles (bigs before
+            # singles keeps the fast path eligible)
+            lc = [(int(b[-1]) if c < 0 else c)
+                  for c, b in zip(LCUT, (bins_ee, bins_bb))]
+            cb_ee = int(np.searchsorted(bins_ee, lc[0]))
+            cb_bb = int(np.searchsorted(bins_bb, lc[1]))
+            if bins_ee[cb_ee] != lc[0] or bins_bb[cb_bb] != lc[1]:
+                raise SystemExit(f"BENCH_LCUT={lc} must be a bin boundary")
+            blocks_ee = [] if cb_ee >= nb_ee else [(cb_ee, nb_ee)]
             blocks_bb = [(i, i + 1) for i in range(cb_bb, nb_bb)]
             # joint-block 2.38/sqrt(d) scaling of the analytic seed (the
             # EE high-l block is ~200 bins wide; 1-d scales collapse its
@@ -332,7 +344,7 @@ def build():
                 sig = [s / np.sqrt(block_widths(bl, len(s)))
                        for s, bl in zip(sig, (blocks_ee, blocks_bb))]
             scheme = PNCPGibbs(model, [bins_ee, bins_bb],
-                               [blocks_ee, blocks_bb], sig, l_cut=LCUT,
+                               [blocks_ee, blocks_bb], sig, l_cut=lc,
                                n_iter_mh=n_mh, cr_method=cr,
                                cr_options=cr_opts)
         else:
@@ -464,6 +476,13 @@ def main():
                  bins_0=np.asarray(bins_pair[0]),
                  bins_1=np.asarray(bins_pair[1]),
                  wall=wall, n_iter=total, nchains=NCHAINS, scheme=SCHEME)
+    # BB-tail (ell >= 300) pooled ESS/s — the B-mode science target where
+    # the per-bin analysis shows interweaving pays (docs/PERF.md round 4);
+    # reported alongside the median so scheme rows are comparable on both
+    bb_bins = np.asarray(bins_pair[-1])
+    tail_sel = bb_bins[:-1] >= 300
+    bb_tail = (float(np.median(np.asarray(ess[-1])[tail_sel])) / wall
+               if tail_sel.any() else None)
     ess = np.concatenate(ess)
     ess_med = float(np.median(ess))
     value = ess_med / wall
@@ -478,7 +497,8 @@ def main():
         f"single-process CPU baseline est {baseline:.5f} ESS/s")
     scheme_label = {
         "asis": f"flagship ASIS: {BENCH_CR} CR + Planck-blocked NC MH",
-        "pncp": f"PNCP l_cut={LCUT}: {BENCH_CR} CR, NC MH above l_cut",
+        "pncp": f"PNCP l_cut={_lcut_raw}: {BENCH_CR} CR, NC MH above "
+                f"l_cut (per field)",
         "centered": "centered aux+MALA CR",
     }.get(SCHEME, SCHEME)
     print(json.dumps({
@@ -497,7 +517,10 @@ def main():
                      "mask": MASK_KIND, "grid": GRID, "lmax": LMAX,
                      "ms_per_iter": round(wall / total * 1e3, 1),
                      "per_chain_ess_per_iter":
-                         round(per_chain_ess_per_iter, 5)},
+                         round(per_chain_ess_per_iter, 5),
+                     "bb_tail_ess_per_s":
+                         (round(bb_tail, 3) if bb_tail else None),
+                     "l_cut": (_lcut_raw if SCHEME == "pncp" else None)},
     }))
 
 

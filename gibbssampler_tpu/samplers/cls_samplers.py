@@ -589,9 +589,16 @@ def nc_cls_sample_cut(key, dl_tuple, s_nc, model, bins_list, blocks_list,
         # PNCP: l < l_cut slots are identity-recentered — a FIXED base
         # component u_base = B s_nc there; blocks must only touch bins at
         # l >= l_cut (PNCPGibbs guarantees this), so u stays linear in the
-        # per-bin sqrt(D_i) with components disjoint from the base
-        low_ell = (np.arange(lmax + 1) < l_cut_identity).astype(np.float64)
-        lowm = expand_cl_state(jnp.asarray(low_ell, dt), lmax)
+        # per-bin sqrt(D_i) with components disjoint from the base.
+        # l_cut_identity may be PER FIELD (int or sequence): the signal/
+        # noise crossover is field-dependent (EE is signal-dominated to
+        # far higher ell than BB — measured per-bin ESS, docs/PERF.md).
+        lcs = (list(l_cut_identity)
+               if isinstance(l_cut_identity, (tuple, list))
+               else [l_cut_identity] * nfields)
+        lowm = jnp.stack([expand_cl_state(jnp.asarray(
+            (np.arange(lmax + 1) < lc).astype(np.float64), dt), lmax)
+            for lc in lcs])                               # (nf, nstate)
         him = 1.0 - lowm
         u_base = almxfl_state(s_nc.astype(dt) * lowm, model.bl.astype(dt),
                               lmax)

@@ -400,23 +400,36 @@ class PNCPGibbs(GibbsScheme):
     centered (conjugate inverse-gamma), above l_cut non-centered (blocked MH)
     — rebuilt from the intent of the reference's deleted PNCP.py
     (bytecode __pycache__/PNCP.cpython-38.pyc; SURVEY.md 2.4: sample_low_l /
-    sample_high_l split, l_cut must not fall inside a block)."""
+    sample_high_l split, l_cut must not fall inside a block).
+
+    ``l_cut`` may be a single int or one per field: the signal/noise
+    crossover that makes non-centered moves pay is field-dependent
+    (measured per-bin ESS, docs/PERF.md round 4: EE is signal-dominated
+    to the highest multipoles — centered wins everywhere — while BB
+    crosses at ell ~ 300).  A field whose l_cut equals its last bin edge
+    is sampled fully centered (its MH block list must then be empty)."""
 
     def __init__(self, model, bins_list, blocks_list, prop_sigma_list,
-                 l_cut: int, n_iter_mh: int = 1, all_sph: bool = False,
+                 l_cut, n_iter_mh: int = 1, all_sph: bool = False,
                  d_alm: Optional[jnp.ndarray] = None, mh_fast: str = "auto",
                  **kw):
         super().__init__(model, bins_list, **kw)
         bins_list = self.bins_list
-        self.l_cut = l_cut
+        lcs = (tuple(int(c) for c in l_cut)
+               if isinstance(l_cut, (tuple, list, np.ndarray))
+               else (int(l_cut),) * len(bins_list))
+        if len(lcs) != len(bins_list):
+            raise ValueError(f"l_cut={l_cut}: need one value or one per "
+                             f"field ({len(bins_list)})")
+        self.l_cut = lcs
         # split bins into low (centered) and high (MH) parts; l_cut must be
         # a bin boundary (the reference raises when l_cut is inside a block)
         cut_bin = []
-        for bins in bins_list:
-            if l_cut not in list(bins):
+        for bins, lc in zip(bins_list, lcs):
+            if lc not in list(bins):
                 raise ValueError(
-                    f"l_cut={l_cut} must be a bin boundary (got bins={bins})")
-            cut_bin.append(int(np.searchsorted(bins, l_cut)))
+                    f"l_cut={lc} must be a bin boundary (got bins={bins})")
+            cut_bin.append(int(np.searchsorted(bins, lc)))
         self.cut_bin = tuple(cut_bin)
         # keep only high-l blocks, re-indexed over the full bin vector
         self.blocks_list = _freeze_blocks([
@@ -438,11 +451,15 @@ class PNCPGibbs(GibbsScheme):
 
     def _var_high(self, dl_tuple, dtype):
         """Prior variance with 1 on valid l < l_cut slots (identity
-        re-centering; invalid layout slots keep variance 0)."""
+        re-centering; invalid layout slots keep variance 0).  Per-field
+        l_cut: one low-ell mask row per field."""
         var = self.var_cls(dl_tuple).astype(dtype)
-        ell_low = (jnp.arange(self.lmax + 1) < self.l_cut).astype(dtype)
-        low = expand_cl_state(ell_low, self.lmax) > 0
-        return jnp.where(low[None, :], 1.0, var)
+        low = jnp.stack([
+            expand_cl_state(
+                (jnp.arange(self.lmax + 1) < lc).astype(dtype),
+                self.lmax) > 0
+            for lc in self.l_cut])
+        return jnp.where(low, 1.0, var)
 
     def step(self, key, state: GibbsState, noise=None):
         k1, k2, k3 = jax.random.split(key, 3)

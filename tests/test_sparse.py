@@ -294,6 +294,47 @@ def test_pncp_lcut_fast_path_matches_direct():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pncp_per_field_lcut_fast_path_matches_direct():
+    """Per-field l_cut (field 0 fully centered — no MH blocks — field 1
+    split): the fast path's per-field identity re-centering reproduces
+    the direct likelihood path bit-near.  This is the production PNCP
+    configuration (EE signal-dominated everywhere, BB split; measured
+    per-bin ESS, docs/PERF.md round 5)."""
+    model, mc, fields = make_holey(spin=2)
+    bins, _, sig, dl0, s_nc = _mh_setup(mc, model, fields)
+    nb = LMAX - 1
+    lcs = (LMAX + 1, 10)                 # field 0 fully centered
+    cb1 = lcs[1] - 2
+    blocks_p = [[],
+                [(cb1, nb - 4)] + [(i, i + 1) for i in range(nb - 4, nb)]]
+
+    def vh(dl_tuple):
+        vars_ = jnp.stack([
+            variance_expansion_state(unfold_bins(d, np.asarray(b), LMAX),
+                                     LMAX)
+            for d, b in zip(dl_tuple, bins)])
+        low = jnp.stack([
+            expand_cl_state(
+                (jnp.arange(LMAX + 1) < lc).astype(jnp.float64), LMAX) > 0
+            for lc in lcs])
+        return jnp.where(low, 1.0, vars_)
+
+    def pncp_like(dl_tuple, s_):
+        return mc.data_loglike_cut(mc.beam(jnp.sqrt(vh(tuple(dl_tuple)))
+                                           * s_))
+
+    key = jax.random.PRNGKey(9)
+    dl_d, info_d = nc_cls_sample(key, dl0, s_nc, pncp_like, bins, blocks_p,
+                                 sig, n_iter=3)
+    dl_f, info_f = nc_cls_sample_cut(key, dl0, s_nc, mc, bins, blocks_p,
+                                     sig, n_iter=3, l_cut_identity=lcs)
+    for a, b in zip(dl_f, dl_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+    for a, b in zip(info_f.accept, info_d.accept):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pncp_scheme_fast_path_runs():
     """PNCPGibbs picks the cut fast path on a sparse model and produces
     finite chains with mixing in both segments."""
