@@ -44,7 +44,7 @@ def cg_solve(
     precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     apply_dtype=None,
     operator_hi: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
-    replace_every: int = 50,
+    replace_every: int = 10,
 ):
     """Solve operator(x) = b for SPD ``operator``.
 
@@ -82,6 +82,15 @@ def cg_solve(
          TRUE residual r = b - Q x and restart the search direction
          (p = z) — van der Vorst-style residual replacement; removes the
          accumulated recurrence error that makes plain fp32 stagnate.
+         The mixed path is a MONOTONE restarted CG (see the inline
+         comment): non-positive-curvature steps are skipped, growth past
+         4x since the last replacement forces one, and every replacement
+         restarts from the best (x, true residual) pair seen so far, so
+         a diverged stretch costs iterations, never correctness.
+         Default 10 — measured at lmax=128/512: the compiled fp32
+         recurrence on the production-conditioned operator is
+         trustworthy for ~10 iterations; coarser cadences stagnate
+         (monotonically, thanks to the safeguard) instead of converging.
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     if precond is not None:
@@ -109,48 +118,99 @@ def cg_solve(
     rz = _batch_dot(r, z, ndim_sys)
     bnorm = jnp.sqrt(_batch_dot(b, b, ndim_sys))
     bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    i0 = jnp.asarray(0, dtype=jnp.int32)
+    nb = (...,) + (None,) * ndim_sys
+
+    if lo is None or not replace_every:
+        def cond(state):
+            i, x, r, p, rz = state
+            rnorm = jnp.sqrt(_batch_dot(r, r, ndim_sys))
+            return jnp.logical_and(i < maxiter,
+                                   jnp.any(rnorm > tol * bnorm))
+
+        def body(state):
+            i, x, r, p, rz = state
+            qp = apply_op(p)
+            denom = _batch_dot(p, qp, ndim_sys)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            x = x + alpha[nb] * p
+            r = r - alpha[nb] * qp
+            z = minv(r)
+            rz_new = _batch_dot(r, z, ndim_sys)
+            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+            p = z + beta[nb] * p
+            return i + 1, x, r, p, rz_new
+
+        i, x, r, p, rz = lax.while_loop(cond, body, (i0, x, r, p, rz))
+        rnorm = jnp.sqrt(_batch_dot(r, r, ndim_sys))
+        return x, CGInfo(iterations=i, residual_norm=rnorm,
+                         converged=rnorm <= tol * bnorm)
+
+    # ---- mixed-precision path: monotone restarted CG ------------------
+    # With an inexact fp32 apply on an ill-conditioned operator the plain
+    # recurrence is not merely inaccurate — it can turn anti-descent and
+    # diverge by orders of magnitude between fixed-cadence replacements
+    # (measured at lmax=128/512 under jit).  Three safeguards make it
+    # robust at any cadence:
+    #   1. non-positive curvature <p, Qp> (or <r, z>): skip the step and
+    #      force a replacement (one such step injects inf/NaN);
+    #   2. growth trigger: replace as soon as ||r|| grows 4x past its
+    #      value at the last replacement;
+    #   3. MONOTONE restart: the carry holds the best (x, true residual)
+    #      pair seen at any replacement; every replacement restarts from
+    #      it, so the true residual at restarts is non-increasing and a
+    #      diverged stretch costs iterations, never correctness.
+    rn0 = jnp.sqrt(_batch_dot(r, r, ndim_sys))
 
     def cond(state):
-        i, x, r, p, rz = state
+        i, x, r, p, rz, rref, xb, rb, rbn = state
         rnorm = jnp.sqrt(_batch_dot(r, r, ndim_sys))
         return jnp.logical_and(i < maxiter, jnp.any(rnorm > tol * bnorm))
 
     def body(state):
-        i, x, r, p, rz = state
+        i, x, r, p, rz, rref, xb, rb, rbn = state
         qp = apply_op(p)
         denom = _batch_dot(p, qp, ndim_sys)
-        alpha = rz / jnp.where(denom == 0, 1.0, denom)
-        alpha_b = alpha[(...,) + (None,) * ndim_sys]
-        x = x + alpha_b * p
-        r = r - alpha_b * qp
+        bad = jnp.logical_or(denom <= 0, rz <= 0)
+        alpha = jnp.where(bad, 0.0,
+                          rz / jnp.where(denom == 0, 1.0, denom))
+        x = x + alpha[nb] * p
+        r = r - alpha[nb] * qp
 
-        if lo is not None and replace_every:
-            def repl(xr):
-                x_, r_ = xr
-                rr = b - rep_op(x_)
-                zz = minv(rr)
-                return rr, zz, _batch_dot(rr, zz, ndim_sys)
+        def repl(args):
+            x_, r_, xb_, rb_, rbn_ = args
+            rr = b - rep_op(x_)                    # true residual at x_
+            rn = jnp.sqrt(_batch_dot(rr, rr, ndim_sys))
+            better = (rn < rbn_)[nb]
+            xb_n = jnp.where(better, x_, xb_)
+            rb_n = jnp.where(better, rr, rb_)
+            rbn_n = jnp.minimum(rn, rbn_)
+            zz = minv(rb_n)
+            rz_n = _batch_dot(rb_n, zz, ndim_sys)
+            return (xb_n, rb_n, zz, rz_n, jnp.max(rbn_n),
+                    xb_n, rb_n, rbn_n)
 
-            def norepl(xr):
-                _x, r_ = xr
-                zz = minv(r_)
-                rzn = _batch_dot(r_, zz, ndim_sys)
-                beta = rzn / jnp.where(rz == 0, 1.0, rz)
-                return r_, zz + beta[(...,) + (None,) * ndim_sys] * p, rzn
+        def norepl(args):
+            x_, r_, xb_, rb_, rbn_ = args
+            zz = minv(r_)
+            rzn = _batch_dot(r_, zz, ndim_sys)
+            beta = rzn / jnp.where(rz == 0, 1.0, rz)
+            return (x_, r_, zz + beta[nb] * p, rzn, rref, xb_, rb_, rbn_)
 
-            r, p, rz_new = lax.cond((i + 1) % replace_every == 0,
-                                    repl, norepl, (x, r))
-            return i + 1, x, r, p, rz_new
+        rnow = jnp.max(jnp.sqrt(_batch_dot(r, r, ndim_sys)))
+        do_repl = jnp.logical_or((i + 1) % replace_every == 0,
+                                 rnow > 4.0 * rref)
+        do_repl = jnp.logical_or(do_repl, jnp.any(bad))
+        x, r, p, rz_new, rref, xb, rb, rbn = lax.cond(
+            do_repl, repl, norepl, (x, r, xb, rb, rbn))
+        return i + 1, x, r, p, rz_new, rref, xb, rb, rbn
 
-        z = minv(r)
-        rz_new = _batch_dot(r, z, ndim_sys)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = z + beta[(...,) + (None,) * ndim_sys] * p
-        return i + 1, x, r, p, rz_new
-
-    i0 = jnp.asarray(0, dtype=jnp.int32)
-    i, x, r, p, rz = lax.while_loop(cond, body, (i0, x, r, p, rz))
+    i, x, r, p, rz, _, xb, rb, rbn = lax.while_loop(
+        cond, body, (i0, x, r, p, rz, jnp.max(rn0), x, r, rn0))
+    # pick the better of (current iterate, best replacement point)
     rnorm = jnp.sqrt(_batch_dot(r, r, ndim_sys))
-    info = CGInfo(iterations=i, residual_norm=rnorm,
-                  converged=rnorm <= tol * bnorm)
-    return x, info
+    take_cur = (rnorm <= rbn)[nb]
+    x = jnp.where(take_cur, x, xb)
+    rnorm = jnp.minimum(rnorm, rbn)
+    return x, CGInfo(iterations=i, residual_norm=rnorm,
+                     converged=rnorm <= tol * bnorm)

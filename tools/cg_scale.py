@@ -25,6 +25,8 @@ os.environ.setdefault(
     os.path.expanduser("~/.cache/gibbssampler_tpu/jaxcache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 LMAX = int(os.environ.get("CG_LMAX", "512"))
@@ -196,7 +198,7 @@ def main():
     jax.config.update("jax_enable_x64", True)
     log(f"device: {jax.devices()}")
     mixed = bool(int(os.environ.get("CG_MIXED", "0")))
-    replace_every = int(os.environ.get("CG_REPLACE", "50"))
+    replace_every = int(os.environ.get("CG_REPLACE", "10"))
     rows = []
     mode = (f"mixed fp32-apply/fp64-recur, replace_every={replace_every}"
             if mixed else f"dtype={DTYPE}")
