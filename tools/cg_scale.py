@@ -139,55 +139,85 @@ def measure_mixed(model64, model32, dls, tol, replace_every):
         for d in dls])
     var32 = var64.astype(jnp.float32)
     bt64 = jax.jit(lambda m: m.bt_ninv_d())(model64)
-    op_lo = _q_op(model32, _safe_inv(var32))   # called on fp32 vectors
-    op_hi = _q_op(model64, _safe_inv(var64))
 
-    def one_solve(key, model64, model32):
-        b = fluctuated_rhs(key, model64, var64, bt64)
-        x, info = cg_solve(op_lo, b, x0=None,
+    # host-segmented: one device program per SEG iterations (a >60 s
+    # program faults the axon TPU watchdog); each segment entry is itself
+    # a monotone replacement (x0 carried, true fp64 residual recomputed).
+    # Operators are built INSIDE the jitted fns from the model arguments —
+    # closing over the models would bake their GB-scale tables into the
+    # serialized module and stall/blow the remote-compile request.
+    SEG = int(os.environ.get("CG_SEG", "100"))
+
+    def rhs(key, model64):
+        return fluctuated_rhs(key, model64, var64, bt64)
+
+    def seg_solve(b, x0, model64, model32):
+        op_lo = _q_op(model32, _safe_inv(var32))   # fp32 vectors
+        op_hi = _q_op(model64, _safe_inv(var64))
+        x, info = cg_solve(op_lo, b, x0=x0,
                            precond_diag=cr_precond(model64, var64),
-                           tol=tol, maxiter=MAXITER, ndim_sys=2,
+                           tol=tol, maxiter=SEG, ndim_sys=2,
                            apply_dtype=jnp.float32, operator_hi=op_hi,
                            replace_every=replace_every)
-        # acceptance check with the TRUE (fp64) residual — the RJPO gate
-        r = b - op_hi(x)
-        return x * _active(var64), info, r
+        return x, info
 
-    solve = jax.jit(jax.vmap(one_solve, in_axes=(0, None, None)))
+    rhs_j = jax.jit(jax.vmap(rhs, in_axes=(0, None)))
+    seg_j = jax.jit(jax.vmap(seg_solve, in_axes=(0, 0, None, None)))
+    resid_j = jax.jit(jax.vmap(
+        lambda b, x, m: b - _q_op(m, _safe_inv(var64))(x),
+        in_axes=(0, 0, None)))
+
+    def full_solve(b):
+        x = jnp.zeros_like(b)
+        iters = 0
+        conv = False
+        while iters < MAXITER:
+            x, info = seg_j(b, x, model64, model32)
+            jax.block_until_ready(x)
+            it = int(np.max(np.asarray(info.iterations)))
+            iters += it
+            if bool(np.all(np.asarray(info.converged))):
+                conv = True
+                break
+            if it == 0:
+                break
+        return x, iters, conv
+
     keys = jax.random.split(jax.random.PRNGKey(7), NCHAINS)
-    x, info, r = solve(keys, model64, model32)
-    jax.block_until_ready(x)
-    iters = int(np.max(np.asarray(info.iterations)))
-    conv = bool(np.all(np.asarray(info.converged)))
+    b = rhs_j(keys, model64)
+    x, iters, conv = full_solve(b)          # compile + converge
     t0 = time.time()
     nrep = 3
     for rr in range(nrep):
         keys = jax.random.split(jax.random.PRNGKey(100 + rr), NCHAINS)
-        x, info, r = solve(keys, model64, model32)
-        jax.block_until_ready(x)
+        b = rhs_j(keys, model64)
+        x, iters, conv = full_solve(b)
     ms = (time.time() - t0) / nrep * 1e3
+    from gibbssampler_tpu.samplers.cr import _active as _act
+    act = jax.jit(lambda v: v * _act(var64))
 
     # RJPO acceptance at this budget: re-solve seeded at -x (the
     # reference's seeding, CenteredGibbs.py:161-163) and Metropolis-gate on
     # the fp64 residual: log alpha = -<r, s_old - s_hat>
-    def rjpo_like(key, s_old, model64, model32):
-        kb, ka = jax.random.split(key)
-        b = fluctuated_rhs(kb, model64, var64, bt64)
-        s_hat, _ = cg_solve(op_lo, b, x0=-s_old * _active(var64),
-                            precond_diag=cr_precond(model64, var64),
-                            tol=tol, maxiter=MAXITER, ndim_sys=2,
-                            apply_dtype=jnp.float32, operator_hi=op_hi,
-                            replace_every=replace_every)
-        s_hat = s_hat * _active(var64)
-        rres = b - op_hi(s_hat)
-        log_ratio = -jnp.sum(rres * (s_old - s_hat))
-        return (jnp.log(jax.random.uniform(ka, dtype=jnp.float64))
-                < log_ratio)
-
-    rj = jax.jit(jax.vmap(rjpo_like, in_axes=(0, 0, None, None)))
-    keys = jax.random.split(jax.random.PRNGKey(200), NCHAINS)
-    acc = rj(keys, x, model64, model32)
-    racc = float(np.mean(np.asarray(acc)))
+    s_old = act(x)
+    kb, ka = jax.random.split(jax.random.PRNGKey(200))
+    b2 = rhs_j(jax.random.split(kb, NCHAINS), model64)
+    # same segmented loop, seeded at -s_old
+    xh = -s_old
+    it2 = 0
+    while it2 < MAXITER:
+        xh, info2 = seg_j(b2, xh, model64, model32)
+        jax.block_until_ready(xh)
+        it = int(np.max(np.asarray(info2.iterations)))
+        it2 += it
+        if bool(np.all(np.asarray(info2.converged))) or it == 0:
+            break
+    s_hat = act(xh)
+    rres = resid_j(b2, s_hat, model64)
+    log_ratio = -np.sum(np.asarray(rres * (s_old - s_hat)), axis=(1, 2))
+    u = np.log(np.asarray(jax.random.uniform(
+        ka, (NCHAINS,), dtype=jnp.float64)))
+    racc = float(np.mean(u < log_ratio))
     return iters, conv, ms, racc
 
 
