@@ -140,48 +140,104 @@ def measure_mixed(model64, model32, dls, tol, replace_every):
     var32 = var64.astype(jnp.float32)
     bt64 = jax.jit(lambda m: m.bt_ninv_d())(model64)
 
-    # host-segmented: one device program per SEG iterations (a >60 s
-    # program faults the axon TPU watchdog); each segment entry is itself
-    # a monotone replacement (x0 carried, true fp64 residual recomputed).
+    # Host-level monotone restarted mixed CG.  Two SMALL device programs:
+    # (a) a pure fp32-apply CG segment of `replace_every` iterations
+    #     (fp64 vectors, fp32-cast Q applies, NO fp64 operator inside —
+    #     keeping the fp64-emulated SHT out of the while-loop body keeps
+    #     the compile tractable on the axon tunnel), and
+    # (b) one fp64 true-residual program.
+    # The van der Vorst replacement + monotone best-point selection runs
+    # on the host between segments (ops/cg.py implements the same scheme
+    # in-program for CPU/library use; on this TPU the dual-precision
+    # while-loop compile is prohibitive — measured >25 min, killed).
     # Operators are built INSIDE the jitted fns from the model arguments —
     # closing over the models would bake their GB-scale tables into the
     # serialized module and stall/blow the remote-compile request.
-    SEG = int(os.environ.get("CG_SEG", "100"))
 
     def rhs(key, model64):
         return fluctuated_rhs(key, model64, var64, bt64)
 
-    def seg_solve(b, x0, model64, model32):
-        op_lo = _q_op(model32, _safe_inv(var32))   # fp32 vectors
-        op_hi = _q_op(model64, _safe_inv(var64))
-        x, info = cg_solve(op_lo, b, x0=x0,
+    def seg_solve(b, x0, seg, model32, model64):
+        # HIGHEST matmul precision: the TPU's default fp32 einsum runs at
+        # bf16-class effective precision, which floors the attainable
+        # residual at ~3e-3 on this operator (measured — the solve
+        # stagnates two decades above tol); 'highest' recovers true-fp32
+        # applies at ~3x the matmul cost, still far below fp64 emulation
+        with jax.default_matmul_precision("highest"):
+            op_lo = _q_op(model32, _safe_inv(var32))   # fp32 vectors
+            x, info = cg_solve(op_lo, b, x0=x0,
+                               precond_diag=cr_precond(model64, var64),
+                               tol=tol, maxiter=seg, ndim_sys=2,
+                               apply_dtype=jnp.float32, operator_hi=None,
+                               replace_every=0)
+        return x, info
+
+    def seg_solve64(b, x0, seg, model64):
+        op = _q_op(model64, _safe_inv(var64))
+        x, info = cg_solve(op, b, x0=x0,
                            precond_diag=cr_precond(model64, var64),
-                           tol=tol, maxiter=SEG, ndim_sys=2,
-                           apply_dtype=jnp.float32, operator_hi=op_hi,
-                           replace_every=replace_every)
+                           tol=tol, maxiter=seg, ndim_sys=2)
         return x, info
 
     rhs_j = jax.jit(jax.vmap(rhs, in_axes=(0, None)))
-    seg_j = jax.jit(jax.vmap(seg_solve, in_axes=(0, 0, None, None)))
+    seg_j = jax.jit(jax.vmap(seg_solve, in_axes=(0, 0, None, None, None)),
+                    static_argnums=(2,))
+    seg64_j = jax.jit(jax.vmap(seg_solve64, in_axes=(0, 0, None, None)),
+                      static_argnums=(2,))
     resid_j = jax.jit(jax.vmap(
         lambda b, x, m: b - _q_op(m, _safe_inv(var64))(x),
         in_axes=(0, 0, None)))
 
-    def full_solve(b):
-        x = jnp.zeros_like(b)
+    def full_solve(b, x0=None):
+        """Iterative-refinement ladder: monotone restarted mixed CG (fp32
+        'highest' applies) down to its attainable floor, then fp64 CG
+        finishes from that warm start.  Measured at lmax=512: the fp32
+        floor is ~4e-4 relative (vs ~3e-3 at default TPU matmul
+        precision), so the fp64 phase only works the last ~1.5 decades —
+        a ~3x cut in fp64-emulation iterations."""
+        bn = np.sqrt(np.sum(np.asarray(b) ** 2, axis=(1, 2)))
+        x = jnp.zeros_like(b) if x0 is None else x0
+        best_x, best_rn = np.asarray(x), np.full(bn.shape, np.inf)
         iters = 0
-        conv = False
+        seg = replace_every
+        stall = 0
+        prev = np.inf
         while iters < MAXITER:
-            x, info = seg_j(b, x, model64, model32)
+            xs, info = seg_j(b, x, seg, model32, model64)
+            jax.block_until_ready(xs)
+            iters += seg
+            r_true = np.asarray(resid_j(b, xs, model64))
+            rn = np.sqrt(np.sum(r_true ** 2, axis=(1, 2)))
+            better = np.isfinite(rn) & (rn < best_rn)
+            best_x = np.where(better[:, None, None], np.asarray(xs), best_x)
+            best_rn = np.where(better, rn, best_rn)
+            cur = float(np.max(best_rn / bn))
+            if iters % 500 == 0 and os.environ.get("CG_VERBOSE"):
+                log(f"  mixed iters={iters} rel={cur:.3e}")
+            if np.all(best_rn <= tol * bn):
+                return jnp.asarray(best_x), iters, True
+            # fp32 floor detection: < 2% progress over 4 checks
+            stall = stall + 1 if cur > 0.98 * prev else 0
+            prev = cur
+            if stall >= 4:
+                break
+            x = jnp.asarray(best_x)     # monotone restart (fresh p = z)
+        # fp64 finish from the mixed warm start
+        x = jnp.asarray(best_x)
+        seg64 = int(os.environ.get("CG_SEG64", "100"))
+        while iters < MAXITER:
+            x, info = seg64_j(b, x, seg64, model64)
             jax.block_until_ready(x)
             it = int(np.max(np.asarray(info.iterations)))
             iters += it
+            if os.environ.get("CG_VERBOSE"):
+                rn_ = np.max(np.asarray(info.residual_norm) / bn)
+                log(f"  fp64 finish iters={iters} rel={rn_:.3e}")
             if bool(np.all(np.asarray(info.converged))):
-                conv = True
+                return x, iters, True
+            if it < seg64:
                 break
-            if it == 0:
-                break
-        return x, iters, conv
+        return x, iters, False
 
     keys = jax.random.split(jax.random.PRNGKey(7), NCHAINS)
     b = rhs_j(keys, model64)
@@ -202,16 +258,8 @@ def measure_mixed(model64, model32, dls, tol, replace_every):
     s_old = act(x)
     kb, ka = jax.random.split(jax.random.PRNGKey(200))
     b2 = rhs_j(jax.random.split(kb, NCHAINS), model64)
-    # same segmented loop, seeded at -s_old
-    xh = -s_old
-    it2 = 0
-    while it2 < MAXITER:
-        xh, info2 = seg_j(b2, xh, model64, model32)
-        jax.block_until_ready(xh)
-        it = int(np.max(np.asarray(info2.iterations)))
-        it2 += it
-        if bool(np.all(np.asarray(info2.converged))) or it == 0:
-            break
+    # same monotone segmented loop, seeded at -s_old
+    xh, _, _ = full_solve(b2, x0=-s_old)
     s_hat = act(xh)
     rres = resid_j(b2, s_hat, model64)
     log_ratio = -np.sum(np.asarray(rres * (s_old - s_hat)), axis=(1, 2))
